@@ -1,0 +1,349 @@
+"""CSWin-UNet — TPU-native flax.linen implementation.
+
+A U-shaped encoder-decoder segmentation transformer with cross-shaped-window
+attention and LePE, behaviorally equivalent to the reference
+``CSWinTransformer`` (``networks/cswin_unet.py:322-554``) but designed for
+XLA/TPU:
+
+  * NHWC tensors end-to-end (TPU conv + Pallas-tile friendly); tokens keep
+    their (B, H, W, C) geometry instead of flattening to (B, L, C) and
+    re-deriving H=W=√L at every block;
+  * skip connections flow functionally through the forward (the reference
+    stashes them on ``self.x1/x2/x3`` — not thread-safe, cswin_unet.py:472+);
+  * every shape is static; all control flow is Python-level over a static
+    config, so the whole forward jit-compiles to one XLA program;
+  * mixed precision via the ``dtype`` attribute (bf16 activations, f32
+    params, f32 softmax/LN statistics);
+  * optional per-block rematerialization (``use_remat``) replacing
+    torch.utils.checkpoint (reference cswin_unet.py:468-469);
+  * attention dispatches to the fused Pallas stripe-attention kernel
+    (``attn_impl='pallas'``) or the XLA composition (``'xla'``).
+
+Geometry for tiny/224 (configs/cswin_tiny_224_lite.yaml): embed 64, depths
+(1,2,9,1), heads (2,4,8,16), split (1,2,7,7); stage reso 56/28/14/7; stage 4
+degenerates to full 7x7 window attention (reference cswin_unet.py:128-131).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import cswin_attention
+from ..ops.carafe import carafe
+from .initializers import torch_conv_bias, torch_conv_kernel, trunc_normal
+
+Dtype = Any
+
+
+class Mlp(nn.Module):
+    """Linear -> GELU(exact) -> Drop -> Linear -> Drop (reference :12-28)."""
+
+    hidden_features: int
+    out_features: int
+    drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(
+            self.hidden_features,
+            kernel_init=trunc_normal(),
+            dtype=self.dtype,
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        x = nn.Dense(
+            self.out_features,
+            kernel_init=trunc_normal(),
+            dtype=self.dtype,
+            name="fc2",
+        )(x)
+        x = nn.Dropout(self.drop)(x, deterministic=deterministic)
+        return x
+
+
+class StripeAttention(nn.Module):
+    """One stripe branch of CSWin attention (reference LePEAttention :31-109).
+
+    Owns the LePE depthwise-3x3 parameters (``get_v`` in the reference) and
+    delegates the computation to ``ops.cswin_attention``.
+    """
+
+    dim: int
+    num_heads: int
+    h_sp: int
+    w_sp: int
+    qk_scale: Optional[float] = None
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        kernel = self.param("get_v_kernel", torch_conv_kernel, (3, 3, 1, self.dim))
+        bias = self.param("get_v_bias", torch_conv_bias(9), (self.dim,))
+        head_dim = self.dim // self.num_heads
+        scale = self.qk_scale if self.qk_scale is not None else head_dim**-0.5
+        return cswin_attention(
+            q, k, v, kernel, bias,
+            h_sp=self.h_sp, w_sp=self.w_sp, num_heads=self.num_heads,
+            scale=scale, impl=self.attn_impl,
+        )
+
+
+class CSWinBlock(nn.Module):
+    """LN -> joint qkv -> two half-channel stripe branches (or one full-window
+    branch in the last stage) -> proj -> residual; LN -> MLP -> residual.
+    Reference :112-181."""
+
+    dim: int
+    reso: Tuple[int, int]
+    num_heads: int
+    split_size: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    last_stage: bool = False
+    deterministic: bool = True
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x):
+        deterministic = self.deterministic
+        H, W = self.reso
+        B = x.shape[0]
+        C = self.dim
+        last = self.last_stage or (H == self.split_size and W == self.split_size)
+
+        img = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
+        qkv = nn.Dense(
+            3 * C,
+            use_bias=self.qkv_bias,
+            kernel_init=trunc_normal(),
+            dtype=self.dtype,
+            name="qkv",
+        )(img)
+        qkv = qkv.reshape(B, H, W, 3, C)
+        q, k, v = qkv[..., 0, :], qkv[..., 1, :], qkv[..., 2, :]
+
+        if last:
+            attened = StripeAttention(
+                dim=C, num_heads=self.num_heads, h_sp=H, w_sp=W,
+                qk_scale=self.qk_scale, dtype=self.dtype,
+                attn_impl=self.attn_impl, name="attns_0",
+            )(q, k, v)
+        else:
+            half = C // 2
+            # Branch 0: vertical stripes (h_sp=H, w_sp=split); branch 1:
+            # horizontal stripes (h_sp=split, w_sp=W). Reference :43-51.
+            x0 = StripeAttention(
+                dim=half, num_heads=self.num_heads // 2, h_sp=H,
+                w_sp=self.split_size, qk_scale=self.qk_scale, dtype=self.dtype,
+                attn_impl=self.attn_impl, name="attns_0",
+            )(q[..., :half], k[..., :half], v[..., :half])
+            x1 = StripeAttention(
+                dim=half, num_heads=self.num_heads // 2, h_sp=self.split_size,
+                w_sp=W, qk_scale=self.qk_scale, dtype=self.dtype,
+                attn_impl=self.attn_impl, name="attns_1",
+            )(q[..., half:], k[..., half:], v[..., half:])
+            attened = jnp.concatenate([x0, x1], axis=-1)
+
+        attened = nn.Dense(
+            C, kernel_init=trunc_normal(), dtype=self.dtype, name="proj"
+        )(attened)
+
+        # Per-sample stochastic depth (timm DropPath with rescaling).
+        drop_path = nn.Dropout(self.drop_path, broadcast_dims=(1, 2, 3))
+        x = x + drop_path(attened, deterministic=deterministic)
+
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
+        y = Mlp(
+            hidden_features=int(C * self.mlp_ratio),
+            out_features=C,
+            drop=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(y, deterministic=deterministic)
+        x = x + drop_path(y, deterministic=deterministic)
+        return x
+
+
+class MergeBlock(nn.Module):
+    """Stage-transition downsample: 3x3 stride-2 conv + LN (reference :205-220)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1] * 9
+        x = nn.Conv(
+            self.dim_out,
+            kernel_size=(3, 3),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            kernel_init=torch_conv_kernel,
+            bias_init=torch_conv_bias(fan_in),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+
+class CarafeUpsample(nn.Module):
+    """CARAFE content-aware upsampler (reference CARAFE/CARAFE4 :222-319)."""
+
+    dim: int
+    dim_out: int
+    kernel_size: int = 3
+    up_factor: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, up = self.kernel_size, self.up_factor
+        c_mid = self.dim // 4
+        c_enc = up * up * k * k
+        down_kernel = self.param("down_kernel", torch_conv_kernel, (1, 1, self.dim, c_mid))
+        down_bias = self.param("down_bias", torch_conv_bias(self.dim), (c_mid,))
+        enc_kernel = self.param("encoder_kernel", torch_conv_kernel, (k, k, c_mid, c_enc))
+        enc_bias = self.param("encoder_bias", torch_conv_bias(c_mid * k * k), (c_enc,))
+        out_kernel = self.param("out_kernel", torch_conv_kernel, (1, 1, self.dim, self.dim_out))
+        out_bias = self.param("out_bias", torch_conv_bias(self.dim), (self.dim_out,))
+        return carafe(
+            x,
+            down_kernel, down_bias,
+            enc_kernel, enc_bias,
+            out_kernel, out_bias,
+            kernel_size=k, up_factor=up,
+        )
+
+
+class CSWinUNet(nn.Module):
+    """Full U-Net. Input (B, H, W, in_chans) NHWC; output logits
+    (B, H, W, num_classes). Reference CSWinTransformer :322-554."""
+
+    img_size: int = 224
+    in_chans: int = 3
+    num_classes: int = 9
+    embed_dim: int = 64
+    depth: Sequence[int] = (1, 2, 9, 1)
+    split_size: Sequence[int] = (1, 2, 7, 7)
+    num_heads: Sequence[int] = (2, 4, 8, 16)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    use_remat: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    def _block(self, stage: int, i: int, *, dim, reso, dpr, name, deterministic,
+               last_stage=False):
+        cls = nn.remat(CSWinBlock) if self.use_remat else CSWinBlock
+        return cls(
+            deterministic=deterministic,
+            dim=dim,
+            reso=(reso, reso),
+            num_heads=self.num_heads[stage],
+            split_size=self.split_size[stage],
+            mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            drop=self.drop_rate,
+            attn_drop=self.attn_drop_rate,
+            drop_path=float(dpr[i]),
+            last_stage=last_stage,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        assert x.shape[-1] == self.in_chans, (
+            f"expected NHWC input with {self.in_chans} channels, got {x.shape}"
+        )
+        x = x.astype(self.dtype)
+        ed = self.embed_dim
+        depth = list(self.depth)
+        dims = [ed, ed * 2, ed * 4, ed * 8]
+        resos = [self.img_size // (4 * 2**i) for i in range(4)]
+        # Stochastic-depth schedule shared by encoder and decoder (ref :348).
+        dpr = np.linspace(0, self.drop_path_rate, sum(depth))
+        offs = np.cumsum([0] + depth)
+
+        # --- Encoder -------------------------------------------------------
+        # Stem: 7x7 stride-4 conv + LN (reference :338-342).
+        x = nn.Conv(
+            ed,
+            kernel_size=(7, 7),
+            strides=(4, 4),
+            padding=((2, 2), (2, 2)),
+            kernel_init=torch_conv_kernel,
+            bias_init=torch_conv_bias(self.in_chans * 49),
+            dtype=self.dtype,
+            name="stage1_conv_embed_conv",
+        )(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="stage1_conv_embed_norm")(x)
+        x = nn.Dropout(self.drop_rate)(x, deterministic=deterministic)
+
+        skips = []
+        for s in range(4):
+            is_last = s == 3
+            for i in range(depth[s]):
+                x = self._block(
+                    s, int(offs[s]) + i, dim=dims[s], reso=resos[s], dpr=dpr,
+                    name=f"stage{s + 1}_{i}", deterministic=deterministic,
+                    last_stage=is_last,
+                )(x)
+            if not is_last:
+                skips.append(x)
+                x = MergeBlock(dims[s + 1], dtype=self.dtype, name=f"merge{s + 1}")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+
+        # --- Decoder -------------------------------------------------------
+        for s in range(3, -1, -1):
+            is_last = s == 3
+            for i in range(depth[s]):
+                x = self._block(
+                    s, int(offs[s]) + i, dim=dims[s], reso=resos[s], dpr=dpr,
+                    name=f"stage_up{s + 1}_{i}", deterministic=deterministic,
+                    last_stage=is_last,
+                )(x)
+            if s > 0:
+                x = CarafeUpsample(
+                    dims[s], dims[s - 1], dtype=self.dtype, name=f"upsample{s + 1}"
+                )(x)
+                # Skip-concat: [skip, upsampled] then linear 2C->C (ref :509-510).
+                x = jnp.concatenate([skips[s - 1], x], axis=-1)
+                x = nn.Dense(
+                    dims[s - 1],
+                    kernel_init=trunc_normal(),
+                    dtype=self.dtype,
+                    name=f"concat_linear{s + 1}",
+                )(x)
+
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
+
+        # Final x4 expansion + 1x1 classifier (reference :536-544).
+        x = CarafeUpsample(ed, ed, up_factor=4, dtype=self.dtype, name="upsample1")(x)
+        x = nn.Conv(
+            self.num_classes,
+            kernel_size=(1, 1),
+            use_bias=False,
+            kernel_init=torch_conv_kernel,
+            dtype=self.dtype,
+            name="output",
+        )(x)
+        return x.astype(jnp.float32)

@@ -1,0 +1,24 @@
+"""Test harness configuration.
+
+Runs the whole suite on CPU with 8 virtual XLA devices so multi-chip sharding
+(mesh/pjit/shard_map) is exercised without TPU hardware — the strategy
+SURVEY.md §4 prescribes, since the reference repo ships no tests at all.
+Must set env vars before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
