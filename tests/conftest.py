@@ -3,20 +3,33 @@
 Runs the whole suite on CPU with 8 virtual XLA devices so multi-chip sharding
 (mesh/pjit/shard_map) is exercised without TPU hardware — the strategy
 SURVEY.md §4 prescribes, since the reference repo ships no tests at all.
-Must set env vars before jax is imported anywhere.
+
+Note: this image's sitecustomize force-registers the axon TPU backend before
+conftest runs, so selecting CPU must go through jax.config after import (env
+vars alone are overridden).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be in place before the first backend initialization (lazy in jax).
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert jax.device_count() == 8, jax.devices()
 
 
 @pytest.fixture
