@@ -1,0 +1,52 @@
+"""Device mesh + shardings — the communication backend of this framework.
+
+The reference's only parallelism is single-process ``nn.DataParallel``
+(``trainer.py:37-38``); its TPU-native replacement is a 1-D ``data`` mesh
+over all chips with:
+
+  * the batch sharded along ``data`` (inputs arrive pre-sharded via
+    ``jax.device_put`` with a NamedSharding — no scatter step);
+  * parameters and optimizer state replicated;
+  * gradient all-reduce inserted by XLA (riding ICI) when the jitted train
+    step consumes sharded batches and produces replicated grads.
+
+The model is 24M params, so pure DP is the right point in the
+TP/PP/DP design space (SURVEY.md §2.7); wider meshes (e.g. ``(data, model)``)
+are supported by passing a 2-D shape, the batch axis stays ``data``.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis_names=("data",)) -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    shape = (len(devices),) if len(axis_names) == 1 else None
+    if shape is None:
+        raise ValueError("pass a 1-D axis_names or construct the Mesh directly")
+    return Mesh(np.asarray(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, sharding: NamedSharding) -> dict:
+    """device_put numpy arrays in a batch dict with the batch sharding."""
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray):
+            out[k] = jax.device_put(v, sharding)
+        else:
+            out[k] = v
+    return out

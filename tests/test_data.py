@@ -1,0 +1,105 @@
+"""Data pipeline: synthetic layout, readers, transforms, loader."""
+
+import numpy as np
+import pytest
+
+from cswin_unet_tpu.data import (
+    DataLoader,
+    RandomGenerator,
+    SynapseDataset,
+    make_synthetic_dataset,
+)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    return make_synthetic_dataset(str(root), num_train_slices=10, num_volumes=2,
+                                  size=48, depth=4, num_classes=4)
+
+
+def test_train_split_reader(synth):
+    ds = SynapseDataset(synth["train_dir"], synth["list_dir"], "train")
+    assert len(ds) == 10
+    s = ds[0]
+    assert s["image"].shape == (48, 48)
+    assert s["label"].shape == (48, 48)
+    assert s["case_name"] == synth["train_names"][0]
+
+
+def test_vol_split_reader(synth):
+    ds = SynapseDataset(synth["vol_dir"], synth["list_dir"], "test_vol")
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["image"].shape == (4, 48, 48)
+    assert set(np.unique(s["label"])) <= {0, 1, 2, 3}
+
+
+def test_random_generator_resizes_and_types(synth):
+    ds = SynapseDataset(
+        synth["train_dir"], synth["list_dir"], "train",
+        transform=RandomGenerator([32, 32]),
+    )
+    rng = np.random.default_rng(0)
+    s = ds.__getitem__(0, rng)
+    assert s["image"].shape == (32, 32, 1)
+    assert s["image"].dtype == np.float32
+    assert s["label"].shape == (32, 32)
+    assert s["label"].dtype == np.int32
+
+
+def test_random_generator_deterministic(synth):
+    ds = SynapseDataset(
+        synth["train_dir"], synth["list_dir"], "train",
+        transform=RandomGenerator([32, 32]),
+    )
+    a = ds.__getitem__(3, np.random.default_rng(7))
+    b = ds.__getitem__(3, np.random.default_rng(7))
+    np.testing.assert_array_equal(a["image"], b["image"])
+    np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_loader_pads_final_batch(synth):
+    ds = SynapseDataset(
+        synth["train_dir"], synth["list_dir"], "train",
+        transform=RandomGenerator([32, 32]),
+    )
+    loader = DataLoader(ds, batch_size=4, shuffle=True, seed=0, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3  # ceil(10/4)
+    for b in batches:
+        assert b["image"].shape == (4, 32, 32, 1)
+        assert b["label"].shape == (4, 32, 32)
+        assert len(b["case_name"]) == 4
+
+
+def test_loader_epoch_reshuffles(synth):
+    ds = SynapseDataset(synth["train_dir"], synth["list_dir"], "train",
+                        transform=RandomGenerator([32, 32]))
+    loader = DataLoader(ds, batch_size=10, shuffle=True, seed=0, num_workers=2)
+    names1 = next(iter(loader))["case_name"]
+    names2 = next(iter(loader))["case_name"]
+    assert sorted(names1) == sorted(names2)
+    assert names1 != names2  # different epoch order (whp for 10 items)
+
+
+def test_augmentation_branches_cover_rot_flip_and_rotate(synth):
+    """Over many seeds both augmentation branches and identity must occur."""
+    ds = SynapseDataset(synth["train_dir"], synth["list_dir"], "train")
+    base = ds[0]["image"]
+    gen = RandomGenerator([48, 48])
+    outcomes = set()
+    for seed in range(40):
+        s = gen({"image": base, "label": base.copy()}, np.random.default_rng(seed))
+        img = s["image"][..., 0]
+        if np.array_equal(img, base):
+            outcomes.add("identity")
+        elif any(
+            np.array_equal(img, np.flip(np.rot90(base, k), ax))
+            for k in range(4)
+            for ax in (0, 1)
+        ):
+            outcomes.add("rot_flip")
+        else:
+            outcomes.add("rotate")
+    assert outcomes == {"identity", "rot_flip", "rotate"}
