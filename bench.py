@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Headline benchmark: slices/sec/chip, 224² CSWin-tiny inference.
+
+Prints ONE JSON line:
+  {"metric": "slices_per_sec_per_chip", "value": N, "unit": "slices/s",
+   "vs_baseline": N / BASELINE}
+
+Methodology: K forwards chained by a data dependence inside one jitted
+lax.scan (so execution is serialized on-device and can't be elided), timed
+with a single host sync; per-forward time = (t_K - t_1) / (K - 1). This
+removes the per-dispatch round-trip latency of the measurement harness from
+the number, which is what "slices/sec/chip" means.
+
+Baseline note: the reference repo records NO throughput anywhere (SURVEY.md
+§6); its inference runs batch-size-1, one slice per forward (utils.py:70-74).
+BASELINE is an estimate of that pipeline on an A100: a ~25 GFLOP forward at
+bs=1 is launch/overhead-bound at ~15-20 ms/slice => 60 slices/s. The
+BASELINE.json north star is >=5x that (300 slices/s).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+A100_BS1_BASELINE = 60.0  # slices/s, estimated reference pipeline (see above)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cswin_unet_tpu.models import CSWinUNet, CSwinUnet
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    chain = int(sys.argv[2]) if len(sys.argv) > 2 else 21
+
+    model = CSwinUnet(
+        backbone=CSWinUNet(
+            img_size=224,
+            num_classes=9,
+            embed_dim=64,
+            depth=(1, 2, 9, 1),
+            split_size=(1, 2, 7, 7),
+            num_heads=(2, 4, 8, 16),
+            drop_path_rate=0.2,
+            dtype=jnp.bfloat16,
+            attn_impl="xla",
+        )
+    )
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1)))
+
+    def chained(params, x, k):
+        def body(carry, _):
+            pred = model.apply(params, carry)
+            return carry + 1e-6 * pred[..., :1], ()
+
+        c, _ = lax.scan(body, x, None, length=k)
+        return jnp.sum(c)
+
+    f1 = jax.jit(lambda p, x: chained(p, x, 1))
+    fk = jax.jit(lambda p, x: chained(p, x, chain))
+
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 224, 224, 1)).astype(np.float32)
+    )
+    float(f1(params, x))  # compile
+    float(fk(params, x))
+
+    def best_of(f, n=3):
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            float(f(params, x))
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t1 = best_of(f1)
+    tk = best_of(fk)
+    per_fwd = (tk - t1) / (chain - 1)
+    slices_per_sec = batch / per_fwd
+
+    print(
+        json.dumps(
+            {
+                "metric": "slices_per_sec_per_chip",
+                "value": round(slices_per_sec, 2),
+                "unit": "slices/s",
+                "vs_baseline": round(slices_per_sec / A100_BS1_BASELINE, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
