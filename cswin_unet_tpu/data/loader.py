@@ -127,8 +127,9 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
         try:
             for batch in iterator:
                 queue.put(_put(batch))
-        finally:
             queue.put(_sentinel)
+        except BaseException as e:  # propagate into the consumer
+            queue.put(e)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
@@ -136,4 +137,6 @@ def device_prefetch(iterator, sharding=None, size: int = 2):
         item = queue.get()
         if item is _sentinel:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item

@@ -1,3 +1,15 @@
-from .mesh import make_mesh, batch_sharding, replicated_sharding, shard_batch
+from .mesh import (
+    make_mesh,
+    make_mesh_for_batch,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "make_mesh_for_batch",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+]

@@ -32,6 +32,15 @@ def make_mesh(num_devices: int | None = None, axis_names=("data",)) -> Mesh:
     return Mesh(np.asarray(devices).reshape(shape), axis_names)
 
 
+def make_mesh_for_batch(batch_size: int, axis_names=("data",)) -> Mesh:
+    """1-D data mesh over the largest device count that divides the batch
+    (a 4-sample batch on an 8-device host uses 4 devices rather than fail)."""
+    n = jax.device_count()
+    while n > 1 and batch_size % n:
+        n -= 1
+    return make_mesh(n, axis_names)
+
+
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim across the data axis."""
     return NamedSharding(mesh, P(axis))

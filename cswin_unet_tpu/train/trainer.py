@@ -29,7 +29,7 @@ import optax
 
 from ..data import DataLoader, RandomGenerator, SynapseDataset, device_prefetch
 from ..losses import segmentation_loss
-from ..parallel import batch_sharding, make_mesh, replicated_sharding
+from ..parallel import batch_sharding, make_mesh_for_batch, replicated_sharding
 from ..utils.checkpoint import save_checkpoint
 from ..utils.logging_utils import SummaryWriter, setup_logging
 
@@ -97,7 +97,7 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
         num_workers=getattr(args, "num_workers", 8),
     )
 
-    mesh = make_mesh()
+    mesh = make_mesh_for_batch(batch_size)
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
     params = jax.device_put(params, rsh)

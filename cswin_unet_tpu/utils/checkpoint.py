@@ -33,13 +33,15 @@ SEP = "/"
 # ---------------------------------------------------------------------------
 
 def flatten(tree: dict, prefix: str = "") -> dict[str, np.ndarray]:
+    """'/'-joined flat dict. Leaves pass through unchanged (works on numpy
+    arrays AND jax tracers — callers needing numpy convert themselves)."""
     out = {}
     for k, v in tree.items():
         key = f"{prefix}{SEP}{k}" if prefix else str(k)
         if isinstance(v, dict):
             out.update(flatten(v, key))
         else:
-            out[key] = np.asarray(v)
+            out[key] = v
     return out
 
 
@@ -55,7 +57,7 @@ def unflatten(flat: dict[str, np.ndarray]) -> dict:
 
 
 def save_checkpoint(path: str, params, extra: dict | None = None) -> None:
-    flat = flatten(jax.device_get(params))
+    flat = {k: np.asarray(v) for k, v in flatten(jax.device_get(params)).items()}
     if extra:
         flat.update({f"__extra__{SEP}{k}": np.asarray(v) for k, v in extra.items()})
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
