@@ -5,11 +5,13 @@ Prints ONE JSON line:
   {"metric": "slices_per_sec_per_chip", "value": N, "unit": "slices/s",
    "vs_baseline": N / BASELINE}
 
-Methodology: K forwards chained by a data dependence inside one jitted
-lax.scan (so execution is serialized on-device and can't be elided), timed
-with a single host sync; per-forward time = (t_K - t_1) / (K - 1). This
-removes the per-dispatch round-trip latency of the measurement harness from
-the number, which is what "slices/sec/chip" means.
+Methodology: two long chains of forwards (K_a=21, K_b=41) linked by a data
+dependence inside one jitted lax.scan each (execution serialized on-device,
+nothing elided), timed with a single host sync; per-forward time =
+(t_b − t_a) / (K_b − K_a). Differencing two long chains cancels both the
+host round-trip latency and any fixed per-dispatch overhead — both of which
+are large and noisy over this environment's TPU tunnel — leaving pure
+device throughput, which is what "slices/sec/chip" means.
 
 Baseline note: the reference repo records NO throughput anywhere (SURVEY.md
 §6); its inference runs batch-size-1, one slice per forward (utils.py:70-74).
@@ -35,7 +37,9 @@ def main():
     from cswin_unet_tpu.models import CSWinUNet, CSwinUnet
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    chain = int(sys.argv[2]) if len(sys.argv) > 2 else 21
+    chain_a = int(sys.argv[2]) if len(sys.argv) > 2 else 21
+    chain_b = int(sys.argv[3]) if len(sys.argv) > 3 else 41
+    attn_impl = sys.argv[4] if len(sys.argv) > 4 else "xla"
 
     model = CSwinUnet(
         backbone=CSWinUNet(
@@ -47,10 +51,12 @@ def main():
             num_heads=(2, 4, 8, 16),
             drop_path_rate=0.2,
             dtype=jnp.bfloat16,
-            attn_impl="xla",
+            attn_impl=attn_impl,
         )
     )
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1)))
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1))
+    )
 
     def chained(params, x, k):
         def body(carry, _):
@@ -60,14 +66,14 @@ def main():
         c, _ = lax.scan(body, x, None, length=k)
         return jnp.sum(c)
 
-    f1 = jax.jit(lambda p, x: chained(p, x, 1))
-    fk = jax.jit(lambda p, x: chained(p, x, chain))
+    fa = jax.jit(lambda p, x: chained(p, x, chain_a))
+    fb = jax.jit(lambda p, x: chained(p, x, chain_b))
 
     x = jnp.asarray(
         np.random.default_rng(0).normal(size=(batch, 224, 224, 1)).astype(np.float32)
     )
-    float(f1(params, x))  # compile
-    float(fk(params, x))
+    float(fa(params, x))  # compile
+    float(fb(params, x))
 
     def best_of(f, n=3):
         times = []
@@ -77,9 +83,9 @@ def main():
             times.append(time.perf_counter() - t0)
         return min(times)
 
-    t1 = best_of(f1)
-    tk = best_of(fk)
-    per_fwd = (tk - t1) / (chain - 1)
+    ta = best_of(fa)
+    tb = best_of(fb)
+    per_fwd = (tb - ta) / (chain_b - chain_a)
     slices_per_sec = batch / per_fwd
 
     print(

@@ -216,7 +216,9 @@ def default_config() -> CfgNode:
     c.TPU = CfgNode()
     c.TPU.COMPUTE_DTYPE = "bfloat16"   # activation compute dtype
     c.TPU.PARAM_DTYPE = "float32"      # parameter storage dtype
-    c.TPU.USE_PALLAS_ATTENTION = True  # fused stripe-attention kernel
+    # Fused stripe-attention Pallas kernel (validated against the XLA path;
+    # flipped on by default once the kernel lands — ops/pallas).
+    c.TPU.USE_PALLAS_ATTENTION = False
     c.TPU.MESH_DATA_AXIS = -1          # -1: all visible devices on the data axis
     return c
 

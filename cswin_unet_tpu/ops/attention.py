@@ -107,9 +107,10 @@ def cswin_attention(
     if impl == "pallas":
         from .pallas.cswin_attention import cswin_attention_pallas
 
+        if lepe_bias is None:
+            lepe_bias = jnp.zeros((q.shape[-1],), q.dtype)
         return cswin_attention_pallas(
-            q, k, v, lepe_kernel, lepe_bias,
-            h_sp=h_sp, w_sp=w_sp, num_heads=num_heads, scale=scale,
+            q, k, v, lepe_kernel, lepe_bias, h_sp, w_sp, num_heads, scale
         )
     return cswin_attention_xla(
         q, k, v, lepe_kernel, lepe_bias,

@@ -338,8 +338,12 @@ def trainer_continual_surgical_tpgm(args, model, params, old_model, old_params,
             log_layer_learning_rates(weights, base_lr, logging,
                                      stage=args.stage, method=args.auto_tune)
 
-        if (not args.disable_tpgm and epoch_num >= args.tpgm_start_epoch
+        if (not args.disable_tpgm and tpgm_loader is not None
+                and epoch_num >= args.tpgm_start_epoch
                 and (epoch_num - args.tpgm_start_epoch + 1) % args.tpgm_frequency == 0):
+            # tpgm_loader is None when tpgm_data_fraction rounds to zero
+            # samples — the reference silently skips in that case
+            # (universal_train.py:574 checks dataset_iterator is not None).
             logging.info(f"Running TPGM constraint optimization after epoch {epoch_num}")
             tpgm.optimize(params, _cycle(tpgm_loader), log=logging.info)
 

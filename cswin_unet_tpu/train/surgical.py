@@ -113,6 +113,64 @@ def weight_tree(params, weights: dict[str, float]):
     )
 
 
+_GROUP_PATTERNS = (
+    ("stage1_conv_embed", "stem"),
+    ("stage_up1", "decoder1"), ("stage_up2", "decoder2"),
+    ("stage_up3", "decoder3"), ("stage_up4", "decoder4"),
+    ("stage1", "encoder1"), ("stage2", "encoder2"),
+    ("stage3", "encoder3"), ("stage4", "encoder4"),
+    ("merge1", "merge1"), ("merge2", "merge2"), ("merge3", "merge3"),
+    ("upsample1", "upsample1"), ("upsample2", "upsample2"),
+    ("upsample3", "upsample3"), ("upsample4", "upsample4"),
+    ("concat_linear2", "concat2"), ("concat_linear3", "concat3"),
+    ("concat_linear4", "concat4"),
+    ("norm_up", "norm_up"), ("norm", "bottleneck"), ("output", "output"),
+)
+
+
+def parameter_group_of(name: str) -> str:
+    """Architectural group of a flat param name (reference finetune.py:77-113:
+    stem / encoderN / mergeN / bottleneck / decoderN / upsampleN / concatN /
+    norm_up / output)."""
+    base = name.split("/")
+    # strip flax 'params'/'backbone' envelope components
+    parts = [p for p in base if p not in ("params", "backbone")]
+    head = parts[0] if parts else name
+    for prefix, group in _GROUP_PATTERNS:
+        if head.startswith(prefix):
+            return group
+    return "other"
+
+
+def get_group_lr_weights(model, params, batch, loss_fn, *, grad_fn=None,
+                         label_map=None) -> dict[str, float]:
+    """Per-GROUP relative gradient norms from one batch, normalized to sum 1
+    (reference finetune.py:115-144): group norm = sqrt(Σ‖g_p‖²) over the
+    group's tensors."""
+    if grad_fn is None:
+        grad_fn = make_grad_fn(model, loss_fn)
+    label = batch["label"]
+    if label_map is not None:
+        label = label_map(label)
+    grads = grad_fn(params, batch["image"], label)
+    flat_g = flatten(jax.device_get(grads))
+    sq: dict[str, float] = {}
+    for name, g in flat_g.items():
+        group = parameter_group_of(name)
+        sq[group] = sq.get(group, 0.0) + float((np.asarray(g, np.float64) ** 2).sum())
+    norms = {k: float(np.sqrt(v)) for k, v in sq.items()}
+    total = sum(norms.values())
+    if total <= 0:
+        return {k: 0.0 for k in norms}
+    return {k: v / total for k, v in norms.items()}
+
+
+def group_weights_to_param_weights(params, group_weights: dict[str, float]) -> dict[str, float]:
+    """Expand group-level weights to flat per-param weights."""
+    flat = flatten(jax.device_get(params))
+    return {name: group_weights.get(parameter_group_of(name), 0.0) for name in flat}
+
+
 def cosine_epoch_lr(base_lr: float, max_epochs: int):
     """torch CosineAnnealingLR(T_max=max_epochs), stepped per epoch."""
 
