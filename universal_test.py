@@ -104,6 +104,14 @@ if __name__ == "__main__":
         print(f"Auto-detected model task level: {task_level}")
 
     mapping = CLASS_MAPPINGS[args.test_dataset]
+    # XLA gathers clamp out-of-bounds indices silently, so an insufficient
+    # task level would "evaluate" garbage — validate explicitly.
+    if max(mapping["indices"]) >= model_num_classes:
+        raise RuntimeError(
+            f"Model task level {task_level} ({model_num_classes} classes) cannot "
+            f"evaluate {args.test_dataset}, which needs output channels "
+            f"{mapping['indices']}. Train the later continual stages first."
+        )
     args.num_classes = mapping["classes"]
     args.list_dir = args.list_dir or LIST_DIRS[args.test_dataset]
     args.z_spacing = 1
