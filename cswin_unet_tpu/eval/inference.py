@@ -134,15 +134,55 @@ def test_single_volume(
     return metric_list
 
 
-def inference(args, inferencer: VolumeInferencer, db_test, test_save_path=None):
+def save_visuals(image, label, prediction, case_name, slice_idx, save_dir,
+                 num_classes):
+    """Side-by-side input / ground truth / prediction PNG (reference
+    test.py:73-100)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+    axes[0].imshow(np.squeeze(image), cmap="gray")
+    axes[0].set_title("Input Image")
+    axes[1].imshow(np.squeeze(label), cmap="jet", vmin=0, vmax=num_classes - 1)
+    axes[1].set_title("Ground Truth")
+    axes[2].imshow(np.squeeze(prediction), cmap="jet", vmin=0, vmax=num_classes - 1)
+    axes[2].set_title("Model Prediction")
+    for ax in axes:
+        ax.axis("off")
+    fig.savefig(
+        os.path.join(save_dir, f"{case_name}_slice_{slice_idx}.png"),
+        bbox_inches="tight", pad_inches=0.1,
+    )
+    plt.close(fig)
+
+
+def inference(args, inferencer: VolumeInferencer, db_test, test_save_path=None,
+              visual_save_dir=None, max_visuals: int = 5):
     """Per-case evaluation loop with the reference's log-line format
-    (test.py:103-165)."""
+    (test.py:103-165); mid-slice visuals for the first ``max_visuals``
+    cases when ``visual_save_dir`` is set (test.py:128-153)."""
     logging.info(f"{len(db_test)} test iterations per epoch")
     metric_sum = 0.0
+    num_visuals_saved = 0
     for i_batch in range(len(db_test)):
         sample = db_test[i_batch]
         image, label = sample["image"], sample["label"]
         case_name = sample["case_name"]
+
+        if visual_save_dir and num_visuals_saved < max_visuals and image.ndim == 3:
+            mid = image.shape[0] // 2
+            ph = pw = args.img_size
+            x, y = image.shape[1], image.shape[2]
+            mid_in = nd_zoom(image[mid], (ph / x, pw / y), order=3).astype(np.float32)
+            pred_mid = inferencer.predict_slices(mid_in[None])[0]
+            pred_mid = nd_zoom(pred_mid, (x / ph, y / pw), order=0)
+            os.makedirs(visual_save_dir, exist_ok=True)
+            save_visuals(image[mid], label[mid], pred_mid, case_name, mid,
+                         visual_save_dir, args.num_classes)
+            num_visuals_saved += 1
         metric_i = test_single_volume(
             image, label, inferencer, classes=args.num_classes,
             patch_size=(args.img_size, args.img_size),

@@ -58,6 +58,7 @@ def carafe(
     *,
     kernel_size: int = 3,
     up_factor: int = 2,
+    impl: str = "fast",
 ) -> jnp.ndarray:
     """CARAFE upsample: (B, H, W, C) -> (B, up·H, up·W, C_out).
 
@@ -84,7 +85,60 @@ def carafe(
     kern = enc.reshape(B, H, W, k2, up2)
     kern = jax.nn.softmax(kern.astype(jnp.float32), axis=3).astype(x.dtype)
 
-    # Content-aware reassembly (reference :253-261).
+    if impl == "fast":
+        # Numerically identical reformulation: the 1x1 out-conv WEIGHT
+        # commutes with reassembly + pixel_shuffle (reassembly applies the
+        # same per-pixel scalar weights to every channel); running it BEFORE
+        # the up²-fold area expansion cuts its FLOPs by up², and when
+        # C_out < C it also shrinks the patch tensor and the tap einsum.
+        # The BIAS is added after reassembly — hoisting it through the
+        # zero-padded border taps would scale it by the (<1) in-bounds tap
+        # mass at image borders. The einsum stays on the MXU (an explicit
+        # 9-step shift-FMA variant benched 25% slower end-to-end: XLA fuses
+        # the einsum better than sequential accumulations).
+        y = lax.conv_general_dilated(
+            x, out_kernel.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H, W, C_out), no bias
+        C_out = y.shape[-1]
+        patches = extract_patches_3x3(y, kernel_size)  # (B, H, W, C_out, k²)
+        out = jnp.einsum(
+            "bhwck,bhwks->bhwcs", patches, kern, preferred_element_type=jnp.float32
+        )
+        out = (out + out_bias.astype(jnp.float32)[:, None]).astype(x.dtype)
+        out = out.reshape(B, H, W, C_out, up_factor, up_factor)
+        out = out.transpose(0, 1, 4, 2, 5, 3)
+        return out.reshape(B, H * up_factor, W * up_factor, C_out)
+
+    if impl == "hires":
+        # High-res tap-sum: out[q] = Σ_tap kern_hi[q,tap]·y[low(q)+tap].
+        # The accumulator IS the final output layout (no pixel-shuffle
+        # transpose, no (C, up²) intermediate); each term is a lane-broadcast
+        # FMA of a nearest-upsampled shifted y against one kern_hi lane.
+        y = lax.conv_general_dilated(
+            x, out_kernel.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        C_out = y.shape[-1]
+        u = up_factor
+        # kern_hi[b, u·r+i, u·w+j, tap] = kern[b, r, w, tap, i·u+j]
+        kern_hi = kern.reshape(B, H, W, k2, u, u)
+        kern_hi = kern_hi.transpose(0, 1, 4, 2, 5, 3)
+        kern_hi = kern_hi.reshape(B, H * u, W * u, k2)
+        p = kernel_size // 2
+        yp = jnp.pad(y, ((0, 0), (p, p), (p, p), (0, 0)))
+        out = jnp.zeros((B, H * u, W * u, C_out), jnp.float32)
+        for di in range(kernel_size):
+            for dj in range(kernel_size):
+                tap = di * kernel_size + dj
+                sh = yp[:, di : di + H, dj : dj + W, :]
+                sh_hi = jnp.broadcast_to(
+                    sh[:, :, None, :, None, :], (B, H, u, W, u, C_out)
+                ).reshape(B, H * u, W * u, C_out)
+                out = out + sh_hi.astype(jnp.float32) * kern_hi[..., tap : tap + 1].astype(jnp.float32)
+        return (out + out_bias.astype(jnp.float32)).astype(x.dtype)
+
+    # Reference-shaped composition (test oracle path).
     patches = extract_patches_3x3(x, kernel_size)  # (B, H, W, C, k²)
     out = jnp.einsum(
         "bhwck,bhwks->bhwcs", patches, kern, preferred_element_type=jnp.float32

@@ -49,20 +49,33 @@ def make_optimizer(base_lr: float, max_iterations: int, *, momentum=0.9, weight_
     )
 
 
-def make_train_step(model, optimizer, num_classes: int, *, loss_fn=None):
+def make_train_step(model, optimizer, num_classes: int, *, loss_fn=None,
+                    device_augment: bool = False):
     """Build the jitted (params, opt_state, batch, rng) -> updated step.
 
     ``loss_fn(logits, labels)`` defaults to 0.4·CE + 0.6·Dice and must
-    return (scalar, aux_dict).
+    return (scalar, aux_dict). With ``device_augment`` the rot90/flip/rotate
+    augmentation runs inside the jitted step (ops/augment.py) and the host
+    loader only decodes+resizes.
     """
     if loss_fn is None:
         def loss_fn(logits, labels):
             return segmentation_loss(logits, labels, num_classes)
 
     def step(params, opt_state, image, label, rng):
+        if device_augment:
+            from ..ops.augment import augment_batch
+
+            aug_rng, rng = jax.random.split(rng)
+            image, label = augment_batch(image, label, aug_rng)
+
         def objective(p):
             logits = model.apply(p, image, deterministic=False, rngs={"dropout": rng})
-            return loss_fn(logits, label)
+            total, aux = loss_fn(logits, label)
+            # Prediction map of sample 1 for TB image triptychs (reference
+            # trainer.py:72-79) — free, the logits are already here.
+            vis = jnp.argmax(logits[min(1, logits.shape[0] - 1)], axis=-1)
+            return total, dict(aux, pred_vis=vis)
 
         (_, aux), grads = jax.value_and_grad(objective, has_aux=True)(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -81,11 +94,18 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
     num_classes = args.num_classes
     batch_size = args.batch_size * getattr(args, "n_gpu", 1)
 
+    device_augment = bool(getattr(args, "device_augment", False))
+    if device_augment:
+        from ..data.transforms import EvalResize
+
+        transform = EvalResize(output_size=[args.img_size, args.img_size])
+    else:
+        transform = RandomGenerator(output_size=[args.img_size, args.img_size])
     db_train = SynapseDataset(
         base_dir=args.root_path,
         list_dir=args.list_dir,
         split="train",
-        transform=RandomGenerator(output_size=[args.img_size, args.img_size]),
+        transform=transform,
     )
     print(f"The length of train set is: {len(db_train)}")
 
@@ -110,7 +130,9 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
 
     optimizer = make_optimizer(base_lr, max_iterations)
     opt_state = jax.device_put(optimizer.init(jax.tree.map(jnp.asarray, params)), rsh)
-    train_step = make_train_step(model, optimizer, num_classes)
+    train_step = make_train_step(
+        model, optimizer, num_classes, device_augment=device_augment
+    )
     schedule = poly_lr_schedule(base_lr, max_iterations)
 
     writer = SummaryWriter(os.path.join(snapshot_path, "log"))
@@ -135,6 +157,22 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
             logging.info(
                 "iteration %d : loss : %f, loss_ce: %f" % (iter_num, loss, loss_ce)
             )
+
+            if iter_num % 20 == 0:
+                # Image triptych every 20 iters (reference trainer.py:72-79).
+                img = np.asarray(batch["image"])[min(1, len(np.asarray(batch["image"])) - 1), ..., 0]
+                rng_img = img.max() - img.min()
+                img_norm = (img - img.min()) / (rng_img if rng_img > 0 else 1.0)
+                writer.add_image("train/Image", img_norm[None], iter_num)
+                writer.add_image(
+                    "train/Prediction",
+                    np.asarray(aux["pred_vis"])[None].astype(np.float32) * 50,
+                    iter_num,
+                )
+                labs = np.asarray(batch["label"])[min(1, len(np.asarray(batch["label"])) - 1)]
+                writer.add_image(
+                    "train/GroundTruth", labs[None].astype(np.float32) * 50, iter_num
+                )
 
         save_interval = 3
         is_last = epoch_num >= max_epoch - 1

@@ -109,11 +109,15 @@ if __name__ == "__main__":
     else:
         test_save_path = None
 
+    visual_save_dir = "./test_visuals"
+    os.makedirs(visual_save_dir, exist_ok=True)
+    logging.info(f"Visualizations will be saved to {visual_save_dir}")
+
     db_test = SynapseDataset(base_dir=args.volume_path, split="test_vol",
                              list_dir=args.list_dir)
     inferencer = VolumeInferencer(net, params,
                                   patch_size=(args.img_size, args.img_size))
-    inference(args, inferencer, db_test, test_save_path)
+    inference(args, inferencer, db_test, test_save_path, visual_save_dir)
 
     try:
         flops, n_params = count_flops_and_params(net, params, args.img_size)

@@ -79,3 +79,26 @@ def test_carafe_up2_matches_reference_composition(rng):
 
 def test_carafe_up4_matches_reference_composition(rng):
     _run_case(rng, B=1, H=6, W=6, C=16, C_out=16, up=4)
+
+
+def test_fast_impl_matches_reference_impl(rng):
+    """The conv-hoisted, patch-free 'fast' path must be numerically
+    equivalent to the reference-shaped composition."""
+    import jax.numpy as jnp
+    from cswin_unet_tpu.ops.carafe import carafe as carafe_fn
+
+    for B, H, W, C, C_out, up in [(2, 7, 7, 8, 4, 2), (1, 6, 6, 16, 16, 4)]:
+        k = 3
+        c_mid, c_enc = C // 4, up * up * k * k
+        args = dict(
+            down_kernel=jnp.asarray(rng.standard_normal((1, 1, C, c_mid)).astype(np.float32) * 0.2),
+            down_bias=jnp.asarray(rng.standard_normal(c_mid).astype(np.float32) * 0.1),
+            encoder_kernel=jnp.asarray(rng.standard_normal((k, k, c_mid, c_enc)).astype(np.float32) * 0.2),
+            encoder_bias=jnp.asarray(rng.standard_normal(c_enc).astype(np.float32) * 0.1),
+            out_kernel=jnp.asarray(rng.standard_normal((1, 1, C, C_out)).astype(np.float32) * 0.2),
+            out_bias=jnp.asarray(rng.standard_normal(C_out).astype(np.float32) * 0.1),
+        )
+        x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+        ref = carafe_fn(x, **args, kernel_size=k, up_factor=up, impl="reference")
+        fast = carafe_fn(x, **args, kernel_size=k, up_factor=up, impl="fast")
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)

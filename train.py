@@ -53,6 +53,9 @@ parser.add_argument('--amp-opt-level', type=str, default='O1', choices=['O0', 'O
 parser.add_argument('--tag', help='tag of experiment')
 parser.add_argument('--eval', action='store_true', help='Perform evaluation only')
 parser.add_argument('--throughput', action='store_true', help='Test throughput only')
+parser.add_argument('--device_augment', action='store_true',
+                    help='run rot90/flip/rotate augmentation on-device inside the '
+                         'jitted train step (host loader only decodes+resizes)')
 
 args = parser.parse_args()
 if args.dataset == "Synapse":
