@@ -82,9 +82,14 @@ def focal_loss(
     ce = -jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
     if class_weights is not None:
         ce = ce * class_weights[labels]
+    # Defensive numerics (reference universal_train.py:167-179): NaN/Inf in
+    # the per-pixel CE fall back to small/large constants, and a non-finite
+    # final value falls back to 1e-3, so one bad batch can't kill a run.
+    ce = jnp.nan_to_num(ce, nan=1e-6, posinf=10.0, neginf=1e-6)
     pt = jnp.exp(-ce)
     focal = alpha * (1.0 - pt) ** gamma * ce
-    return jnp.mean(focal)
+    result = jnp.mean(focal)
+    return jnp.where(jnp.isfinite(result), result, 1e-3)
 
 
 def kd_loss(

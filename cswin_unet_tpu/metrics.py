@@ -45,8 +45,18 @@ def _surface_distances(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return dt[a_border]
 
 
-def hd95(pred: np.ndarray, gt: np.ndarray) -> float:
-    """95th-percentile symmetric Hausdorff distance (medpy convention)."""
+def hd95(pred: np.ndarray, gt: np.ndarray, *, use_native: bool = True) -> float:
+    """95th-percentile symmetric Hausdorff distance (medpy convention).
+
+    Uses the C++ EDT core (utils/native.py) when it compiles/loads, else the
+    scipy path — both are exact and tested against each other.
+    """
+    if use_native:
+        from .utils.native import hd95_native
+
+        val = hd95_native(pred, gt)
+        if val is not None:
+            return val
     d1 = _surface_distances(pred, gt)
     d2 = _surface_distances(gt, pred)
     return float(np.percentile(np.hstack((d1, d2)), 95))

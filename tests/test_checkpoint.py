@@ -179,3 +179,35 @@ def test_find_checkpoint_and_detect_classes(params, tmp_path):
     found = ckpt.find_checkpoint(str(tmp_path / "run"))
     assert found.endswith("stage1_final.npz")
     assert ckpt.detect_num_classes(found) == 4
+
+
+def test_torch_pth_import_end_to_end(params, tmp_path):
+    """torch.save a reference-shaped state_dict (cswin_unet. prefix, torch
+    layouts, encoder-only) and run the full load_from surgery on it."""
+    import torch
+
+    flat = ckpt.flatten(ckpt._backbone_of(jax.device_get(params)))
+    state = {}
+    for key, val in flat.items():
+        if key.startswith("stage_up"):
+            continue  # encoder-only checkpoint: decoder must get mirrored
+        tkey, tval = _jax_to_torch_entry(key, np.asarray(val))
+        state["cswin_unet." + tkey] = torch.from_numpy(np.ascontiguousarray(tval + 1.0))
+    path = str(tmp_path / "reference.pth")
+    torch.save({"state_dict": state}, path)
+
+    out = ckpt.load_from_pretrained(params, path, log=lambda *a: None)
+    out_flat = ckpt.flatten(ckpt._backbone_of(out))
+    # encoder weights loaded (+1 marker)
+    np.testing.assert_allclose(
+        out_flat["stage2_0/qkv/kernel"], flat["stage2_0/qkv/kernel"] + 1.0, rtol=1e-6
+    )
+    # decoder mirrored from encoder
+    np.testing.assert_allclose(
+        out_flat["stage_up2_0/qkv/kernel"], flat["stage2_0/qkv/kernel"] + 1.0, rtol=1e-6
+    )
+    # stem loaded with layout conversion
+    np.testing.assert_allclose(
+        out_flat["stage1_conv_embed_conv/kernel"],
+        flat["stage1_conv_embed_conv/kernel"] + 1.0, rtol=1e-6,
+    )
