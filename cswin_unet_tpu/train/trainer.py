@@ -30,7 +30,7 @@ import optax
 from ..data import DataLoader, RandomGenerator, SynapseDataset, device_prefetch
 from ..losses import segmentation_loss
 from ..parallel import batch_sharding, make_mesh_for_batch, replicated_sharding
-from ..utils.checkpoint import save_checkpoint
+from ..utils.checkpoint import restore_train_state, save_checkpoint, save_train_state
 from ..utils.logging_utils import SummaryWriter, setup_logging
 
 
@@ -138,9 +138,24 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
     writer = SummaryWriter(os.path.join(snapshot_path, "log"))
     rng = jax.random.PRNGKey(args.seed)
     iter_num = 0
+    start_epoch = 0
+
+    # Full resume incl. optimizer state — the reference's AUTO_RESUME is
+    # dead config; here --resume <train_state_dir> continues exactly.
+    resume = getattr(args, "resume", None)
+    if resume:
+        params_t, opt_t, iter_num = restore_train_state(
+            resume, jax.device_get(params), jax.device_get(opt_state)
+        )
+        params = jax.device_put(params_t, rsh)
+        opt_state = jax.device_put(opt_t, rsh)
+        start_epoch = iter_num // max(1, len(trainloader))
+        trainloader.set_epoch(start_epoch)
+        logging.info(f"resumed from {resume} at iteration {iter_num} (epoch {start_epoch})")
+
     t_start = time.time()
 
-    for epoch_num in range(max_epoch):
+    for epoch_num in range(start_epoch, max_epoch):
         for batch in device_prefetch(iter(trainloader), bsh):
             step_rng = jax.random.fold_in(rng, iter_num)
             params, opt_state, aux = train_step(
@@ -180,6 +195,13 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
             save_mode_path = os.path.join(snapshot_path, f"epoch_{epoch_num}.npz")
             save_checkpoint(save_mode_path, params)
             logging.info(f"save model to {save_mode_path}")
+            try:
+                save_train_state(
+                    os.path.join(snapshot_path, "train_state"), params, opt_state,
+                    iter_num,
+                )
+            except Exception as e:  # orbax is optional at runtime
+                logging.info(f"train_state save skipped: {e}")
         if is_last:
             break
 

@@ -79,6 +79,40 @@ def load_checkpoint(path: str) -> tuple[dict, dict]:
 
 
 # ---------------------------------------------------------------------------
+# full train-state checkpointing (params + optimizer state + step) via orbax
+# ---------------------------------------------------------------------------
+# The reference cannot resume optimizer state (TRAIN.AUTO_RESUME/MODEL.RESUME
+# are dead config, SURVEY.md §5); here resume is first-class.
+
+def save_train_state(path: str, params, opt_state, step: int) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    state = {
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+        "step": step,
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, state, force=True)
+
+
+def restore_train_state(path: str, params_template, opt_state_template):
+    """Restore (params, opt_state, step) with the given pytree structures."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    template = {
+        "params": jax.device_get(params_template),
+        "opt_state": jax.device_get(opt_state_template),
+        "step": 0,
+    }
+    ckptr = ocp.PyTreeCheckpointer()
+    restored = ckptr.restore(path, item=template)
+    return restored["params"], restored["opt_state"], int(restored["step"])
+
+
+# ---------------------------------------------------------------------------
 # torch state_dict import
 # ---------------------------------------------------------------------------
 
