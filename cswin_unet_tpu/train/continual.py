@@ -285,6 +285,19 @@ def trainer_continual_surgical_tpgm(args, model, params, old_model, old_params,
         label_map=label_map,
     )
 
+    # Dedicated ratio log file (reference universal_train.py:556-567).
+    ratio_logger = logging.getLogger("tpgm_ratios")
+    ratio_logger.setLevel(logging.INFO)
+    ratio_logger.propagate = False
+    for h in list(ratio_logger.handlers):
+        ratio_logger.removeHandler(h)
+    handler = logging.FileHandler(os.path.join(snapshot_path, "tpgm_ratios.log"), mode="w")
+    handler.setFormatter(logging.Formatter("%(asctime)s - %(message)s"))
+    ratio_logger.addHandler(handler)
+    ratio_logger.info(
+        f"TPGM Trainer Initialized. Enabled: {not args.disable_tpgm}, Stage: {args.stage}"
+    )
+
     optimizer = SurgicalOptimizer(base_lr, args.max_epochs)
     opt_state = optimizer.init(jax.device_get(params))
     train_step = make_continual_train_step(model, old_model, optimizer, loss_fn,
@@ -345,7 +358,8 @@ def trainer_continual_surgical_tpgm(args, model, params, old_model, old_params,
             # samples — the reference silently skips in that case
             # (universal_train.py:574 checks dataset_iterator is not None).
             logging.info(f"Running TPGM constraint optimization after epoch {epoch_num}")
-            tpgm.optimize(params, _cycle(tpgm_loader), log=logging.info)
+            tpgm.optimize(params, _cycle(tpgm_loader), log=logging.info,
+                          ratio_logger=ratio_logger)
 
         for batch in device_prefetch(iter(trainloader), bsh):
             step_rng = jax.random.fold_in(rng_root, iter_num)

@@ -39,26 +39,45 @@ def _is_head(name: str) -> bool:
     return any(m in name.lower() for m in HEAD_MARKERS)
 
 
-def init_constraints(params, exclude: tuple[str, ...] = ()) -> dict:
-    """Per-tensor scalar constraints with the permissive v3 init."""
+def init_constraints(params, exclude: tuple[str, ...] = (), *,
+                     variant: str = "v3", anchor=None) -> dict:
+    """Per-tensor scalar constraints.
+
+    variant='v3' (default, the one the reference actually uses): permissive
+    init max(3, 2‖θ‖) / max(10, 5‖θ‖) for heads (universal_train.py:417-423).
+    variant='v1' (reference tpgm.py:72-75): c₀ = ‖θ − θ_anchor‖ / 2 per
+    tensor (requires ``anchor``; zero drift initializes at 0).
+    """
     flat = flatten(jax.device_get(params))
+    flat_a = flatten(jax.device_get(anchor)) if anchor is not None else None
     out = {}
     for name, val in flat.items():
         if name in exclude:
             continue
-        norm = float(np.linalg.norm(val.astype(np.float64)))
-        if _is_head(name):
-            init = max(10.0, norm * 5.0)
+        if variant == "v1":
+            t = val - flat_a[name] if flat_a is not None else val * 0.0
+            init = float(np.linalg.norm(np.asarray(t, np.float64))) / 2.0
         else:
-            init = max(3.0, norm * 2.0)
+            norm = float(np.linalg.norm(np.asarray(val, np.float64)))
+            if _is_head(name):
+                init = max(10.0, norm * 5.0)
+            else:
+                init = max(3.0, norm * 2.0)
         out[name] = jnp.asarray(init, jnp.float32)
     return out
 
 
-def project(params, anchor, constraints: dict, *, norm_mode: str = "l2"):
+def project(params, anchor, constraints: dict, *, norm_mode: str = "l2",
+            variant: str = "v3"):
     """θ_anchor + α·(θ − θ_anchor) per tensor. Differentiable in
     ``constraints`` only (params/anchor are stop-gradiented). Returns
-    (projected_params, ratios dict)."""
+    (projected_params, ratios dict).
+
+    variant='v3': permissive clamp ceilings max(8n, 80)/max(10n, 100),
+    floor 1e-2 (universal_train.py:470-476); MARS = Σ|t| whole-tensor.
+    variant='v1': clamp (1e-8, n_max) per tensor (tpgm.py:82-83); MARS =
+    row-wise Σ|t| over dims 1.. keepdims (tpgm.py:67) giving per-row ratios.
+    """
     flat_p = flatten(params)
     flat_a = flatten(anchor)
     out = {}
@@ -70,17 +89,25 @@ def project(params, anchor, constraints: dict, *, norm_mode: str = "l2"):
         theta = jax.lax.stop_gradient(theta)
         theta_a = jax.lax.stop_gradient(flat_a[name]).astype(theta.dtype)
         t = theta - theta_a
+        tf = t.astype(jnp.float32)
         if "l2" in norm_mode:
-            n = jnp.linalg.norm(t.astype(jnp.float32))
-        else:  # MARS
-            n = jnp.sum(jnp.abs(t.astype(jnp.float32)))
-        max_c = (
-            jnp.maximum(n * 10.0, 100.0) if _is_head(name) else jnp.maximum(n * 8.0, 80.0)
-        )
-        c = jnp.clip(constraints[name], 1e-2, max_c)
+            n = jnp.linalg.norm(tf)
+        elif variant == "v1" and tf.ndim > 1:
+            n = jnp.sum(jnp.abs(tf), axis=tuple(range(1, tf.ndim)), keepdims=True)
+        else:
+            n = jnp.sum(jnp.abs(tf))
+        if variant == "v1":
+            c = jnp.clip(constraints[name], 1e-8, jnp.max(n))
+        else:
+            max_c = (
+                jnp.maximum(jnp.max(n) * 10.0, 100.0)
+                if _is_head(name)
+                else jnp.maximum(jnp.max(n) * 8.0, 80.0)
+            )
+            c = jnp.clip(constraints[name], 1e-2, max_c)
         ratio = jnp.clip(c / (n + 1e-8), 0.0, 1.0)
-        ratios[name] = ratio
-        out[name] = theta_a + (ratio * t.astype(jnp.float32)).astype(theta.dtype)
+        ratios[name] = jnp.mean(ratio)
+        out[name] = theta_a + (ratio * tf).astype(theta.dtype)
     return unflatten(out), ratios
 
 
@@ -108,15 +135,19 @@ class TPGMTrainer:
         enabled: bool = True,
         loss_fn: Callable | None = None,
         label_map: Callable | None = None,
+        variant: str = "v3",
     ):
         self.enabled = enabled
         self.norm_mode = norm_mode
         self.max_iters = max_iters
+        self.variant = variant
         self.anchor = jax.device_get(params)  # frozen deepcopy (ref :546-549)
         self.label_map = label_map
         if not enabled:
             return
-        self.constraints = init_constraints(params, exclude)
+        self.constraints = init_constraints(
+            params, exclude, variant=variant, anchor=self.anchor
+        )
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(1.0), optax.adam(proj_lr)
         )
@@ -133,7 +164,9 @@ class TPGMTrainer:
 
         def step(constraints, opt_state, params, anchor, image, label):
             def objective(c):
-                proj, ratios = project(params, anchor, c, norm_mode=norm_mode)
+                proj, ratios = project(
+                    params, anchor, c, norm_mode=norm_mode, variant=variant
+                )
                 logits = model.apply(proj, image, deterministic=True)
                 if num_active is not None:
                     logits = logits[..., :num_active]
@@ -148,12 +181,15 @@ class TPGMTrainer:
 
         self._step = jax.jit(step)
 
-    def optimize(self, params, data_iter, log=print):
+    def optimize(self, params, data_iter, log=print, ratio_logger=None):
         """N constraint-optimization steps over the TPGM loader
-        (apply=False path, reference :579-611)."""
+        (apply=False path, reference :579-611). ``ratio_logger`` receives
+        per-round ratio stats (the dedicated tpgm_ratios.log of the
+        reference, universal_train.py:556-567)."""
         if not self.enabled:
             log("TPGM is disabled - skipping")
             return
+        initial = {k: float(v) for k, v in jax.device_get(self.constraints).items()}
         count = 0
         loss = ratios = None
         while count < self.max_iters:
@@ -172,6 +208,19 @@ class TPGMTrainer:
                     f"TPGM {count}/{self.max_iters} - Loss: {float(loss):.4f}, "
                     f"Mean ratio: {mean:.4f}"
                 )
+                if ratio_logger is not None:
+                    ratio_logger.info(
+                        f"iter {count}: loss {float(loss):.6f} ratio "
+                        f"min/mean/max {mn:.4f}/{mean:.4f}/{mx:.4f}"
+                    )
+        final = {k: float(v) for k, v in jax.device_get(self.constraints).items()}
+        change = (
+            sum(abs(final[k] - initial[k]) for k in final) / max(1, len(final))
+        )
+        log(f"TPGM optimization complete. Average constraint change: {change:.6f}")
+        if ratio_logger is not None and ratios is not None:
+            for name, r in sorted(jax.device_get(ratios).items()):
+                ratio_logger.info(f"ratio {name}: {float(r):.6f}")
         return ratios
 
     def apply(self, params):
@@ -180,6 +229,6 @@ class TPGMTrainer:
             return params
         proj, _ = project(
             jax.device_get(params), self.anchor, jax.device_get(self.constraints),
-            norm_mode=self.norm_mode,
+            norm_mode=self.norm_mode, variant=self.variant,
         )
         return proj

@@ -118,3 +118,29 @@ def test_ratio_stats():
     assert ratio_stats({}) == (0.0, 0.0, 0.0)
     mn, mx, mean = ratio_stats({"a": jnp.asarray(0.2), "b": jnp.asarray(0.8)})
     assert abs(mn - 0.2) < 1e-6 and abs(mx - 0.8) < 1e-6 and abs(mean - 0.5) < 1e-6
+
+
+def test_v1_variant_init_and_clip():
+    """Legacy TPGM v1 (reference tpgm.py): init c = ||θ−θa||/2, clamp
+    (1e-8, n); with that init the projection halves the drift."""
+    anchor = {"w": {"kernel": np.zeros(16, np.float32)}}
+    params = {"w": {"kernel": np.full(16, 1.0, np.float32)}}  # ||t|| = 4
+    c = init_constraints(params, variant="v1", anchor=anchor)
+    assert abs(float(c["w/kernel"]) - 2.0) < 1e-6  # 4/2
+    proj, ratios = project(params, anchor, c, variant="v1")
+    np.testing.assert_allclose(proj["w"]["kernel"], 0.5, rtol=1e-5)
+    # v1 clamp has no permissive floor: a tiny constraint stays tiny
+    tiny = {"w/kernel": jnp.asarray(1e-6)}
+    proj, _ = project(params, anchor, tiny, variant="v1")
+    assert np.abs(proj["w"]["kernel"]).max() < 1e-5
+
+
+def test_v1_mars_rowwise():
+    """v1 MARS norms are row-wise -> per-row ratios."""
+    anchor = {"w": {"kernel": np.zeros((2, 4), np.float32)}}
+    params = {"w": {"kernel": np.stack([np.full(4, 1.0), np.full(4, 2.0)]).astype(np.float32)}}
+    # row norms: 4 and 8. c=4 -> ratios 1.0 and 0.5
+    proj, _ = project(params, anchor, {"w/kernel": jnp.asarray(4.0)},
+                      norm_mode="mars", variant="v1")
+    np.testing.assert_allclose(proj["w"]["kernel"][0], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(proj["w"]["kernel"][1], 1.0, rtol=1e-5)  # 2*0.5
