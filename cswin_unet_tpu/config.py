@@ -216,9 +216,9 @@ def default_config() -> CfgNode:
     c.TPU = CfgNode()
     c.TPU.COMPUTE_DTYPE = "bfloat16"   # activation compute dtype
     c.TPU.PARAM_DTYPE = "float32"      # parameter storage dtype
-    # Fused stripe-attention Pallas kernel (validated against the XLA path;
-    # flipped on by default once the kernel lands — ops/pallas).
-    c.TPU.USE_PALLAS_ATTENTION = False
+    # Fused stripe-attention Pallas kernel (validated against the XLA path,
+    # +13% end-to-end on v5e; CPU falls back to interpret mode).
+    c.TPU.USE_PALLAS_ATTENTION = True
     c.TPU.MESH_DATA_AXIS = -1          # -1: all visible devices on the data axis
     return c
 
