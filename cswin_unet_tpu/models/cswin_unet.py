@@ -95,6 +95,37 @@ class StripeAttention(nn.Module):
         )
 
 
+class _ParamHolder(nn.Module):
+    """Declares raw params under a named scope so the fused block kernel can
+    consume the SAME param tree as the composed modules (shapes/inits match
+    nn.LayerNorm / nn.Dense / StripeAttention exactly)."""
+
+    spec: Tuple[Tuple[str, tuple, Any], ...]
+
+    @nn.compact
+    def __call__(self):
+        return tuple(self.param(n, init, shape) for n, shape, init in self.spec)
+
+
+class _MlpParams(nn.Module):
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _ParamHolder(
+            (("kernel", (self.dim, self.hidden), trunc_normal()),
+             ("bias", (self.hidden,), nn.initializers.zeros)),
+            name="fc1",
+        )()
+        fc2 = _ParamHolder(
+            (("kernel", (self.hidden, self.dim), trunc_normal()),
+             ("bias", (self.dim,), nn.initializers.zeros)),
+            name="fc2",
+        )()
+        return fc1 + fc2
+
+
 class CSWinBlock(nn.Module):
     """LN -> joint qkv -> two half-channel stripe branches (or one full-window
     branch in the last stage) -> proj -> residual; LN -> MLP -> residual.
@@ -115,6 +146,53 @@ class CSWinBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
 
+    def _fused(self, x, H, W, C, last):
+        """Whole-block Pallas megakernel path. Param scopes/names/shapes are
+        identical to the composed path, so checkpoints are interchangeable."""
+        from ..ops.pallas.cswin_block import fused_cswin_block
+        from .initializers import torch_conv_bias as _tcb, torch_conv_kernel as _tck
+
+        ones, zeros = nn.initializers.ones, nn.initializers.zeros
+        cb = C if last else C // 2
+        n1s, n1b = _ParamHolder(
+            (("scale", (C,), ones), ("bias", (C,), zeros)), name="norm1")()
+        if self.qkv_bias:
+            qkvk, qkvb = _ParamHolder(
+                (("kernel", (C, 3 * C), trunc_normal()), ("bias", (3 * C,), zeros)),
+                name="qkv")()
+        else:
+            (qkvk,) = _ParamHolder(
+                (("kernel", (C, 3 * C), trunc_normal()),), name="qkv")()
+            qkvb = jnp.zeros((3 * C,), jnp.float32)
+        lk0, lb0 = _ParamHolder(
+            (("get_v_kernel", (3, 3, 1, cb), _tck), ("get_v_bias", (cb,), _tcb(9))),
+            name="attns_0")()
+        if last:
+            lk1, lb1 = lk0, lb0  # single-branch blocks have no attns_1
+        else:
+            lk1, lb1 = _ParamHolder(
+                (("get_v_kernel", (3, 3, 1, cb), _tck), ("get_v_bias", (cb,), _tcb(9))),
+                name="attns_1")()
+        projk, projb = _ParamHolder(
+            (("kernel", (C, C), trunc_normal()), ("bias", (C,), zeros)),
+            name="proj")()
+        n2s, n2b = _ParamHolder(
+            (("scale", (C,), ones), ("bias", (C,), zeros)), name="norm2")()
+        hidden = int(C * self.mlp_ratio)
+        fc1k, fc1b, fc2k, fc2b = _MlpParams(C, hidden, name="mlp")()
+
+        head_dim = C // self.num_heads
+        scale = self.qk_scale if self.qk_scale is not None else head_dim**-0.5
+        params = (
+            n1s, n1b, qkvk, qkvb,
+            lk0.reshape(3, 3, cb), lb0, lk1.reshape(3, 3, cb), lb1,
+            projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
+        )
+        return fused_cswin_block(
+            x.astype(self.dtype), params, H, W, C, self.num_heads,
+            self.split_size, last, scale, self.qkv_bias,
+        )
+
     @nn.compact
     def __call__(self, x):
         deterministic = self.deterministic
@@ -122,6 +200,12 @@ class CSWinBlock(nn.Module):
         B = x.shape[0]
         C = self.dim
         last = self.last_stage or (H == self.split_size and W == self.split_size)
+
+        if self.attn_impl == "fused" and deterministic:
+            return self._fused(x, H, W, C, last)
+        # 'fused' covers only the deterministic path; training (drop-path
+        # active) composes modules with the pallas attention kernel.
+        attn_impl = "pallas" if self.attn_impl == "fused" else self.attn_impl
 
         img = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(
@@ -138,7 +222,7 @@ class CSWinBlock(nn.Module):
             attened = StripeAttention(
                 dim=C, num_heads=self.num_heads, h_sp=H, w_sp=W,
                 qk_scale=self.qk_scale, dtype=self.dtype,
-                attn_impl=self.attn_impl, name="attns_0",
+                attn_impl=attn_impl, name="attns_0",
             )(q, k, v)
         else:
             half = C // 2
@@ -147,12 +231,12 @@ class CSWinBlock(nn.Module):
             x0 = StripeAttention(
                 dim=half, num_heads=self.num_heads // 2, h_sp=H,
                 w_sp=self.split_size, qk_scale=self.qk_scale, dtype=self.dtype,
-                attn_impl=self.attn_impl, name="attns_0",
+                attn_impl=attn_impl, name="attns_0",
             )(q[..., :half], k[..., :half], v[..., :half])
             x1 = StripeAttention(
                 dim=half, num_heads=self.num_heads // 2, h_sp=self.split_size,
                 w_sp=W, qk_scale=self.qk_scale, dtype=self.dtype,
-                attn_impl=self.attn_impl, name="attns_1",
+                attn_impl=attn_impl, name="attns_1",
             )(q[..., half:], k[..., half:], v[..., half:])
             attened = jnp.concatenate([x0, x1], axis=-1)
 
