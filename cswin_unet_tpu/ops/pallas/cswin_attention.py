@@ -96,24 +96,21 @@ def _kernel(q_ref, k_ref, v_ref, lk_ref, lb_ref, o_ref, *, h_sp, w_sp,
     k2 = kw.reshape(n, L, C)
     v2 = vw.reshape(n, L, C)
 
-    outs = []
-    for wi in range(n):
-        head_outs = []
-        for h in range(num_heads):
-            sl = slice(h * d, (h + 1) * d)
-            qh = q2[wi, :, sl] * scale                # (L, d)
-            kh = k2[wi, :, sl]
-            vh = v2[wi, :, sl]
-            s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s, axis=-1).astype(qh.dtype)
-            head_outs.append(
-                jnp.dot(p, vh, preferred_element_type=jnp.float32)
-            )
-        outs.append(
-            head_outs[0] if num_heads == 1
-            else jnp.concatenate(head_outs, axis=-1)  # (L, C)
+    # Windows are the BATCH dim of one batched dot_general per head (Mosaic
+    # lowers single-batch-dim dots) — nothing unrolls over windows.
+    head_outs = []
+    for h in range(num_heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q2[:, :, sl] * scale                     # (n, L, d)
+        s = jax.lax.dot_general(qh, k2[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(qh.dtype)
+        head_outs.append(
+            jax.lax.dot_general(p, v2[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
         )
-    out = jnp.stack(outs, axis=0) + lepe              # (n, L, C)
+    out = (head_outs[0] if num_heads == 1
+           else jnp.concatenate(head_outs, axis=-1)) + lepe  # (n, L, C)
     o_ref[...] = out.astype(o_ref.dtype).reshape(1, bh, bw, C)
 
 

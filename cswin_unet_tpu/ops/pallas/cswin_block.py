@@ -111,20 +111,24 @@ def _lepe_full(v_img, lk, lb, sp_h, sp_w):
 
 
 def _attn_windows(q, k, v, heads, scale):
-    """q,k,v: (n, L, C) -> (n, L, C) softmax(QKᵀ·scale)V per window/head."""
+    """q,k,v: (n, L, C) -> (n, L, C). Windows are the BATCH dim of one
+    batched dot_general per head (Mosaic lowers single-batch-dim dots), so
+    nothing unrolls over windows — compile time stays flat in n."""
     n, L, C = q.shape
     d = C // heads
     outs = []
-    for wi in range(n):
-        hs = []
-        for h in range(heads):
-            sl = slice(h * d, (h + 1) * d)
-            qh = q[wi, :, sl] * scale
-            s = jnp.dot(qh, k[wi, :, sl].T, preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-            hs.append(jnp.dot(p, v[wi, :, sl], preferred_element_type=jnp.float32))
-        outs.append(hs[0] if heads == 1 else jnp.concatenate(hs, -1))
-    return jnp.stack(outs, 0).astype(q.dtype)
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, :, sl] * scale
+        s = jax.lax.dot_general(qh, k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        outs.append(
+            jax.lax.dot_general(p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        )
+    out = outs[0] if heads == 1 else jnp.concatenate(outs, -1)
+    return out.astype(q.dtype)
 
 
 def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
@@ -169,35 +173,37 @@ def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
 
 def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
                   projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b, o_ref, *,
-                  H, W, C, heads, split, last_stage, scale, qkv_bias):
-    x = x_ref[0].reshape(H * W, C)
+                  H, W, C, heads, split, last_stage, scale, qkv_bias, G):
+    # G images per program: the LN/qkv/proj/MLP matmuls run jointly on
+    # (G·H·W, C) rows (better MXU M-dim); attention loops per image.
+    x = x_ref[...].reshape(G * H * W, C)
 
     xn = _layernorm(x, n1s[...], n1b[...])
-    qkv = _dot(xn, qkvk[...], qkvb[...] if qkv_bias else None)  # (HW, 3C)
-    q, k, v = qkv[:, :C], qkv[:, C : 2 * C], qkv[:, 2 * C :]
+    qkv = _dot(xn, qkvk[...], qkvb[...] if qkv_bias else None)  # (GHW, 3C)
 
-    if last_stage:
-        q_i = q.reshape(H, W, C)
-        k_i = k.reshape(H, W, C)
-        v_i = v.reshape(H, W, C)
-        att = _branch_horizontal(q_i, k_i, v_i, lk0[...], lb0[...],
-                                 H=H, W=W, sp=H, heads=heads, scale=scale)
-        att = att.reshape(H * W, C)
-    else:
-        half = C // 2
-        h2 = heads // 2
-        q_i = q.reshape(H, W, C)
-        k_i = k.reshape(H, W, C)
-        v_i = v.reshape(H, W, C)
-        a0 = _branch_vertical(
-            q_i[..., :half], k_i[..., :half], v_i[..., :half], lk0[...], lb0[...],
-            H=H, W=W, sp=split, heads=h2, scale=scale,
-        )
-        a1 = _branch_horizontal(
-            q_i[..., half:], k_i[..., half:], v_i[..., half:], lk1[...], lb1[...],
-            H=H, W=W, sp=split, heads=h2, scale=scale,
-        )
-        att = jnp.concatenate([a0, a1], -1).reshape(H * W, C)
+    att_imgs = []
+    for g in range(G):
+        sl = slice(g * H * W, (g + 1) * H * W)
+        q = qkv[sl, :C].reshape(H, W, C)
+        k = qkv[sl, C : 2 * C].reshape(H, W, C)
+        v = qkv[sl, 2 * C :].reshape(H, W, C)
+        if last_stage:
+            att = _branch_horizontal(q, k, v, lk0[...], lb0[...],
+                                     H=H, W=W, sp=H, heads=heads, scale=scale)
+        else:
+            half = C // 2
+            h2 = heads // 2
+            a0 = _branch_vertical(
+                q[..., :half], k[..., :half], v[..., :half], lk0[...], lb0[...],
+                H=H, W=W, sp=split, heads=h2, scale=scale,
+            )
+            a1 = _branch_horizontal(
+                q[..., half:], k[..., half:], v[..., half:], lk1[...], lb1[...],
+                H=H, W=W, sp=split, heads=h2, scale=scale,
+            )
+            att = jnp.concatenate([a0, a1], -1)
+        att_imgs.append(att.reshape(H * W, C))
+    att = att_imgs[0] if G == 1 else jnp.concatenate(att_imgs, 0)
 
     att = _dot(att, projk[...], projb[...])
     x = x + att
@@ -210,7 +216,7 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
     y = _dot(y, fc2k[...], fc2b[...])
     x = x + y
 
-    o_ref[...] = x.reshape(1, H, W, C)
+    o_ref[...] = x.reshape(G, H, W, C)
 
 
 @functools.partial(
@@ -222,19 +228,24 @@ def _fused_block_fwd(x, params, *, H, W, C, heads, split, last_stage, scale, qkv
     (n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1, projk, projb,
      n2s, n2b, fc1k, fc1b, fc2k, fc2b) = params
 
+    # Images per program. G > 1 improves the MXU M-dim of the dense matmuls
+    # but multiplies the kernel's live vectors; the remote Mosaic compiler
+    # OOMs on the G=4 stage-1 kernel, so stay at 1 for now.
+    G = 1
+
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+    x_spec = pl.BlockSpec((G, H, W, C), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     param_specs = [full(p.shape) for p in params]
 
     kern = functools.partial(
         _block_kernel, H=H, W=W, C=C, heads=heads, split=split,
-        last_stage=last_stage, scale=scale, qkv_bias=qkv_bias,
+        last_stage=last_stage, scale=scale, qkv_bias=qkv_bias, G=G,
     )
     return pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[x_spec] + param_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
