@@ -39,7 +39,7 @@ def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     chain_a = int(sys.argv[2]) if len(sys.argv) > 2 else 21
     chain_b = int(sys.argv[3]) if len(sys.argv) > 3 else 41
-    attn_impl = sys.argv[4] if len(sys.argv) > 4 else "pallas"
+    attn_impl = sys.argv[4] if len(sys.argv) > 4 else "fused"
 
     model = CSwinUnet(
         backbone=CSWinUNet(

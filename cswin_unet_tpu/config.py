@@ -216,9 +216,12 @@ def default_config() -> CfgNode:
     c.TPU = CfgNode()
     c.TPU.COMPUTE_DTYPE = "bfloat16"   # activation compute dtype
     c.TPU.PARAM_DTYPE = "float32"      # parameter storage dtype
-    # Fused stripe-attention Pallas kernel (validated against the XLA path,
-    # +13% end-to-end on v5e; CPU falls back to interpret mode).
-    c.TPU.USE_PALLAS_ATTENTION = True
+    # Attention/block implementation: 'fused' (whole-block Pallas megakernel
+    # on the deterministic path, composed pallas attention while training),
+    # 'pallas' (fused stripe-attention only), or 'xla'. v5e bs128:
+    # fused 1704 / pallas 1484 / xla 1315 slices/s. CPU interprets kernels.
+    c.TPU.ATTN_IMPL = "fused"
+    c.TPU.USE_PALLAS_ATTENTION = True  # legacy alias: False forces 'xla' 
     c.TPU.MESH_DATA_AXIS = -1          # -1: all visible devices on the data axis
     return c
 

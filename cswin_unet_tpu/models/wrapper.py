@@ -43,7 +43,10 @@ def build_model(
     if dtype is None:
         dtype = jnp.dtype(config.TPU.COMPUTE_DTYPE)
     if attn_impl is None:
-        attn_impl = "pallas" if config.TPU.USE_PALLAS_ATTENTION else "xla"
+        if not config.TPU.USE_PALLAS_ATTENTION:
+            attn_impl = "xla"
+        else:
+            attn_impl = config.TPU.get("ATTN_IMPL", "fused")
     if use_remat is None:
         use_remat = bool(config.TRAIN.USE_CHECKPOINT)
     backbone = CSWinUNet(
