@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import cswin_attention
-from ..ops.carafe import carafe
+from ..ops.carafe import carafe, carafe_with_classifier
 from .initializers import torch_conv_bias, torch_conv_kernel, trunc_normal
 
 Dtype = Any
@@ -420,14 +420,29 @@ class CSWinUNet(nn.Module):
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
 
-        # Final x4 expansion + 1x1 classifier (reference :536-544).
-        x = CarafeUpsample(ed, ed, up_factor=4, dtype=self.dtype, name="upsample1")(x)
-        x = nn.Conv(
-            self.num_classes,
-            kernel_size=(1, 1),
-            use_bias=False,
-            kernel_init=torch_conv_kernel,
-            dtype=self.dtype,
+        # Final x4 expansion + 1x1 classifier (reference :536-544), fused:
+        # both 1x1 convs commute below the CARAFE reassembly, so the tap
+        # einsum and the high-res write happen on num_classes channels
+        # instead of embed_dim (exact — see ops.carafe.carafe_with_classifier).
+        # Param tree is unchanged: upsample1/* and output/kernel.
+        k, up = 3, 4
+        c_mid, c_enc = ed // 4, up * up * k * k
+        up_params = _ParamHolder(
+            (
+                ("down_kernel", (1, 1, ed, c_mid), torch_conv_kernel),
+                ("down_bias", (c_mid,), torch_conv_bias(ed)),
+                ("encoder_kernel", (k, k, c_mid, c_enc), torch_conv_kernel),
+                ("encoder_bias", (c_enc,), torch_conv_bias(c_mid * k * k)),
+                ("out_kernel", (1, 1, ed, ed), torch_conv_kernel),
+                ("out_bias", (ed,), torch_conv_bias(ed)),
+            ),
+            name="upsample1",
+        )()
+        (cls_kernel,) = _ParamHolder(
+            (("kernel", (1, 1, ed, self.num_classes), torch_conv_kernel),),
             name="output",
-        )(x)
+        )()
+        x = carafe_with_classifier(
+            x.astype(self.dtype), *up_params, cls_kernel, kernel_size=k, up_factor=up
+        )
         return x.astype(jnp.float32)

