@@ -93,20 +93,24 @@ def _iota_mask(H, W, sp_h, sp_w, di, dj):
 
 
 def _lepe_full(v_img, lk, lb, sp_h, sp_w):
-    """Window-confined depthwise 3x3 on the FULL image: shifts computed
-    globally, taps crossing a window boundary zeroed by masks.
-    v_img: (H, W, C). Windows tile as (sp_h, sp_w)."""
-    H, W, C = v_img.shape
+    """Window-confined depthwise 3x3 on full images: shifts computed
+    globally (circular roll), taps crossing a window boundary zeroed by
+    masks. v_img: (G, H, W, C), windows tile (sp_h, sp_w) per image."""
+    G, H, W, C = v_img.shape
     vf = v_img.astype(jnp.float32)  # tpu rotate lowers for f32, not bf16
-    acc = jnp.zeros((H, W, C), jnp.float32)
+    acc = jnp.zeros((G, H, W, C), jnp.float32)
     for di in (-1, 0, 1):
         if not _window_mask(H, sp_h, di).any():
             continue
         for dj in (-1, 0, 1):
             if not _window_mask(W, sp_w, dj).any():
                 continue
-            s = _shift_img(vf, di, dj)
-            acc += s * _iota_mask(H, W, sp_h, sp_w, di, dj) * lk[1 - di, 1 - dj].astype(jnp.float32)
+            s = vf
+            if di:
+                s = pltpu.roll(s, di % H, 1)
+            if dj:
+                s = pltpu.roll(s, dj % W, 2)
+            acc += s * _iota_mask(H, W, sp_h, sp_w, di, dj)[None] * lk[1 - di, 1 - dj].astype(jnp.float32)
     return acc + lb.astype(jnp.float32)
 
 
@@ -132,41 +136,49 @@ def _attn_windows(q, k, v, heads, scale):
 
 
 def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
-    """Windows (sp, W): pure reshapes. q,k,v: (H, W, C2) image layout."""
+    """Windows (sp, W): pure reshapes. q,k,v: (G, H, W, C2); all G images'
+    windows ride the same batched dot."""
+    G, _, _, C2 = q.shape
     nH = H // sp
-    C2 = q.shape[-1]
     L = sp * W
 
     def win(x):
-        return x.reshape(nH, L, C2)
+        return x.reshape(G * nH, L, C2)
 
-    out = _attn_windows(win(q), win(k), win(v), heads, scale).reshape(H, W, C2)
+    out = _attn_windows(win(q), win(k), win(v), heads, scale).reshape(G, H, W, C2)
     lepe = _lepe_full(v, lk, lb, sp, W)
     return (out.astype(jnp.float32) + lepe).astype(q.dtype)
 
 
 def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
-    """Windows (H, sp): one in-VMEM transpose to (nW, H, sp, C2). sp == 1
-    (stage-1 stripes) avoids the 4-D reshape entirely — Mosaic bf16 cannot
-    shape-cast through a singleton dim."""
+    """Windows (H, sp). q,k,v: (G, H, W, C2). sp == 1 (stage-1 stripes) is a
+    pure 4-D transpose; sp > 1 loops the (cheap) windowing per image and
+    still batches ALL windows of all images into one dot — Mosaic rejects
+    the needed 5-D transpose and bf16 singleton shape-casts."""
+    G, _, _, C2 = q.shape
     nW = W // sp
-    C2 = q.shape[-1]
     L = H * sp
 
     if sp == 1:
         def win(x):
-            return x.transpose(1, 0, 2)  # (W, H, C2) = (nW, L, C2)
+            return x.transpose(0, 2, 1, 3).reshape(G * W, H, C2)
 
         out = _attn_windows(win(q), win(k), win(v), heads, scale)
-        out = out.transpose(1, 0, 2)  # (H, W, C2)
+        out = out.reshape(G, W, H, C2).transpose(0, 2, 1, 3)
     else:
         def win(x):
-            x = x.reshape(H, nW, sp, C2)
-            return x.transpose(1, 0, 2, 3).reshape(nW, L, C2)
+            parts = [
+                x[g].reshape(H, nW, sp, C2).transpose(1, 0, 2, 3).reshape(nW, L, C2)
+                for g in range(G)
+            ]
+            return parts[0] if G == 1 else jnp.concatenate(parts, 0)
 
-        out = _attn_windows(win(q), win(k), win(v), heads, scale)
-        out = out.reshape(nW, H, sp, C2).transpose(1, 0, 2, 3)  # (H, nW, sp, C2)
-        out = out.reshape(H, W, C2)
+        out = _attn_windows(win(q), win(k), win(v), heads, scale)  # (G·nW, L, C2)
+        imgs = []
+        for g in range(G):
+            o = out[g * nW : (g + 1) * nW].reshape(nW, H, sp, C2)
+            imgs.append(o.transpose(1, 0, 2, 3).reshape(1, H, W, C2))
+        out = imgs[0] if G == 1 else jnp.concatenate(imgs, 0)
     lepe = _lepe_full(v, lk, lb, H, sp)
     return (out.astype(jnp.float32) + lepe).astype(q.dtype)
 
@@ -181,29 +193,25 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
     xn = _layernorm(x, n1s[...], n1b[...])
     qkv = _dot(xn, qkvk[...], qkvb[...] if qkv_bias else None)  # (GHW, 3C)
 
-    att_imgs = []
-    for g in range(G):
-        sl = slice(g * H * W, (g + 1) * H * W)
-        q = qkv[sl, :C].reshape(H, W, C)
-        k = qkv[sl, C : 2 * C].reshape(H, W, C)
-        v = qkv[sl, 2 * C :].reshape(H, W, C)
-        if last_stage:
-            att = _branch_horizontal(q, k, v, lk0[...], lb0[...],
-                                     H=H, W=W, sp=H, heads=heads, scale=scale)
-        else:
-            half = C // 2
-            h2 = heads // 2
-            a0 = _branch_vertical(
-                q[..., :half], k[..., :half], v[..., :half], lk0[...], lb0[...],
-                H=H, W=W, sp=split, heads=h2, scale=scale,
-            )
-            a1 = _branch_horizontal(
-                q[..., half:], k[..., half:], v[..., half:], lk1[...], lb1[...],
-                H=H, W=W, sp=split, heads=h2, scale=scale,
-            )
-            att = jnp.concatenate([a0, a1], -1)
-        att_imgs.append(att.reshape(H * W, C))
-    att = att_imgs[0] if G == 1 else jnp.concatenate(att_imgs, 0)
+    q = qkv[:, :C].reshape(G, H, W, C)
+    k = qkv[:, C : 2 * C].reshape(G, H, W, C)
+    v = qkv[:, 2 * C :].reshape(G, H, W, C)
+    if last_stage:
+        att = _branch_horizontal(q, k, v, lk0[...], lb0[...],
+                                 H=H, W=W, sp=H, heads=heads, scale=scale)
+    else:
+        half = C // 2
+        h2 = heads // 2
+        a0 = _branch_vertical(
+            q[..., :half], k[..., :half], v[..., :half], lk0[...], lb0[...],
+            H=H, W=W, sp=split, heads=h2, scale=scale,
+        )
+        a1 = _branch_horizontal(
+            q[..., half:], k[..., half:], v[..., half:], lk1[...], lb1[...],
+            H=H, W=W, sp=split, heads=h2, scale=scale,
+        )
+        att = jnp.concatenate([a0, a1], -1)
+    att = att.reshape(G * H * W, C)
 
     att = _dot(att, projk[...], projb[...])
     x = x + att
@@ -228,9 +236,9 @@ def _fused_block_fwd(x, params, *, H, W, C, heads, split, last_stage, scale, qkv
     (n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1, projk, projb,
      n2s, n2b, fc1k, fc1b, fc2k, fc2b) = params
 
-    # Images per program. G > 1 improves the MXU M-dim of the dense matmuls
-    # but multiplies the kernel's live vectors; the remote Mosaic compiler
-    # OOMs on the G=4 stage-1 kernel, so stay at 1 for now.
+    # Images per program: measured G=4 at 1704 slices/s vs G=1 at 1773 on
+    # v5e bs128 — the bigger VMEM working set costs more than the per-program
+    # overhead it saves, so stay at 1 (the kernel body supports any G).
     G = 1
 
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
