@@ -25,6 +25,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(num_devices: int | None = None, axis_names=("data",)) -> Mesh:
     devices = jax.devices()
     if num_devices is not None:
+        if len(devices) < num_devices:
+            raise ValueError(
+                f"make_mesh({num_devices}) but only {len(devices)} device(s) "
+                f"are visible: {devices}. A silently smaller mesh would make "
+                "multi-chip runs meaningless — fix the backend/device count."
+            )
         devices = devices[:num_devices]
     shape = (len(devices),) if len(axis_names) == 1 else None
     if shape is None:
