@@ -26,7 +26,7 @@ from ..data.datasets import Subset
 from ..losses import dice_loss, focal_loss, kd_loss
 from ..parallel import batch_sharding, make_mesh_for_batch, replicated_sharding
 from ..utils.checkpoint import flatten, save_checkpoint
-from ..utils.logging_utils import SummaryWriter, setup_logging
+from ..utils.logging_utils import MetricBuffer, SummaryWriter, setup_logging
 from .surgical import (
     SurgicalOptimizer,
     get_lr_weights,
@@ -318,6 +318,7 @@ def trainer_continual_surgical_tpgm(args, model, params, old_model, old_params,
     logging.info(f"{len(trainloader)} iterations per epoch. {max_iterations} max iterations ")
 
     iter_num = 0
+    metrics = MetricBuffer(flush_every=20)
     rng_root = jax.random.PRNGKey(args.seed)
     # Uniform weights until the first surgical analysis (auto_tune == none
     # keeps them 1.0 forever => plain AdamW, reference :846-849, :701-702).
@@ -361,6 +362,21 @@ def trainer_continual_surgical_tpgm(args, model, params, old_model, old_params,
             tpgm.optimize(params, _cycle(tpgm_loader), log=logging.info,
                           ratio_logger=ratio_logger)
 
+        # Epoch-constant LR pulled once, not per iteration.
+        lr_epoch = float(optimizer.schedule(epoch_num))
+
+        def emit_step(it, v, lr_epoch=lr_epoch):
+            writer.add_scalar("info/lr", lr_epoch, it)
+            writer.add_scalar("info/total_loss", float(v["loss"]), it)
+            writer.add_scalar("info/loss_ce", float(v["loss_ce"]), it)
+            writer.add_scalar("info/loss_dice", float(v["loss_dice"]), it)
+            writer.add_scalar("info/loss_kd", float(v["loss_kd"]), it)
+            if it % 10 == 0:
+                logging.info(
+                    "iteration %d : loss : %f, loss_ce: %f, loss_kd: %f"
+                    % (it, float(v["loss"]), float(v["loss_ce"]), float(v["loss_kd"]))
+                )
+
         for batch in device_prefetch(iter(trainloader), bsh):
             step_rng = jax.random.fold_in(rng_root, iter_num)
             params, opt_state, aux = train_step(
@@ -369,17 +385,8 @@ def trainer_continual_surgical_tpgm(args, model, params, old_model, old_params,
                 batch["image"], batch["label"], step_rng,
             )
             iter_num += 1
-            loss = float(aux["loss"])
-            writer.add_scalar("info/lr", float(optimizer.schedule(epoch_num)), iter_num)
-            writer.add_scalar("info/total_loss", loss, iter_num)
-            writer.add_scalar("info/loss_ce", float(aux["loss_ce"]), iter_num)
-            writer.add_scalar("info/loss_dice", float(aux["loss_dice"]), iter_num)
-            writer.add_scalar("info/loss_kd", float(aux["loss_kd"]), iter_num)
-            if iter_num % 10 == 0:
-                logging.info(
-                    "iteration %d : loss : %f, loss_ce: %f, loss_kd: %f"
-                    % (iter_num, loss, float(aux["loss_ce"]), float(aux["loss_kd"]))
-                )
+            metrics.append(iter_num, dict(aux), emit_step)
+        metrics.flush()
 
         if (epoch_num + 1) % 5 == 0 or epoch_num == max_epoch - 1:
             path = os.path.join(

@@ -31,7 +31,7 @@ from ..data import DataLoader, RandomGenerator, SynapseDataset, device_prefetch
 from ..losses import segmentation_loss
 from ..parallel import batch_sharding, make_mesh_for_batch, replicated_sharding
 from ..utils.checkpoint import restore_train_state, save_checkpoint, save_train_state
-from ..utils.logging_utils import SummaryWriter, setup_logging
+from ..utils.logging_utils import MetricBuffer, SummaryWriter, setup_logging
 
 
 def poly_lr_schedule(base_lr: float, max_iterations: int, power: float = 0.9):
@@ -133,7 +133,6 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
     train_step = make_train_step(
         model, optimizer, num_classes, device_augment=device_augment
     )
-    schedule = poly_lr_schedule(base_lr, max_iterations)
 
     writer = SummaryWriter(os.path.join(snapshot_path, "log"))
     rng = jax.random.PRNGKey(args.seed)
@@ -155,39 +154,49 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
 
     t_start = time.time()
 
+    metrics = MetricBuffer(flush_every=20)
+
+    def emit_step(it, v):
+        writer.add_scalar("info/lr", v["lr"], it)
+        writer.add_scalar("info/total_loss", float(v["loss"]), it)
+        writer.add_scalar("info/loss_ce", float(v["loss_ce"]), it)
+        logging.info(
+            "iteration %d : loss : %f, loss_ce: %f"
+            % (it, float(v["loss"]), float(v["loss_ce"]))
+        )
+        if "image" in v:
+            # Image triptych every 20 iters (reference trainer.py:72-79).
+            img = np.asarray(v["image"])[..., 0]
+            rng_img = img.max() - img.min()
+            img_norm = (img - img.min()) / (rng_img if rng_img > 0 else 1.0)
+            writer.add_image("train/Image", img_norm[None], it)
+            writer.add_image(
+                "train/Prediction",
+                np.asarray(v["pred_vis"])[None].astype(np.float32) * 50, it,
+            )
+            writer.add_image(
+                "train/GroundTruth",
+                np.asarray(v["label"])[None].astype(np.float32) * 50, it,
+            )
+
     for epoch_num in range(start_epoch, max_epoch):
         for batch in device_prefetch(iter(trainloader), bsh):
             step_rng = jax.random.fold_in(rng, iter_num)
             params, opt_state, aux = train_step(
                 params, opt_state, batch["image"], batch["label"], step_rng
             )
-            lr_ = float(schedule(iter_num))
+            # Host-side poly LR mirror (no device dispatch in the hot loop).
+            lr_ = base_lr * max(0.0, 1.0 - iter_num / max_iterations) ** 0.9
             iter_num += 1
 
-            loss = float(aux["loss"])
-            loss_ce = float(aux["loss_ce"])
-            writer.add_scalar("info/lr", lr_, iter_num)
-            writer.add_scalar("info/total_loss", loss, iter_num)
-            writer.add_scalar("info/loss_ce", loss_ce, iter_num)
-            logging.info(
-                "iteration %d : loss : %f, loss_ce: %f" % (iter_num, loss, loss_ce)
-            )
-
+            vals = {"lr": lr_, "loss": aux["loss"], "loss_ce": aux["loss_ce"]}
             if iter_num % 20 == 0:
-                # Image triptych every 20 iters (reference trainer.py:72-79).
-                img = np.asarray(batch["image"])[min(1, len(np.asarray(batch["image"])) - 1), ..., 0]
-                rng_img = img.max() - img.min()
-                img_norm = (img - img.min()) / (rng_img if rng_img > 0 else 1.0)
-                writer.add_image("train/Image", img_norm[None], iter_num)
-                writer.add_image(
-                    "train/Prediction",
-                    np.asarray(aux["pred_vis"])[None].astype(np.float32) * 50,
-                    iter_num,
-                )
-                labs = np.asarray(batch["label"])[min(1, len(np.asarray(batch["label"])) - 1)]
-                writer.add_image(
-                    "train/GroundTruth", labs[None].astype(np.float32) * 50, iter_num
-                )
+                s = min(1, batch["image"].shape[0] - 1)
+                vals["image"] = batch["image"][s]
+                vals["label"] = batch["label"][s]
+                vals["pred_vis"] = aux["pred_vis"]
+            metrics.append(iter_num, vals, emit_step)
+        metrics.flush()
 
         save_interval = 3
         is_last = epoch_num >= max_epoch - 1

@@ -24,6 +24,37 @@ def setup_logging(snapshot_path: str, filename: str = "log.txt") -> None:
     root.addHandler(logging.StreamHandler(sys.stdout))
 
 
+class MetricBuffer:
+    """Deferred metric pull: the train loop appends device scalars + an emit
+    callback per step and only every ``flush_every`` steps does ONE host
+    sync (``jax.device_get`` on the whole buffer). Log lines / TB scalars
+    come out in original order with the original format, but the hot loop
+    never blocks per step — keeping the H2D/compute overlap from
+    ``device_prefetch`` intact (the reference syncs every iteration,
+    trainer.py:66-79; format parity is preserved at flush time)."""
+
+    def __init__(self, flush_every: int = 20):
+        self.flush_every = flush_every
+        self._buf = []
+
+    def append(self, step: int, device_values, emit) -> None:
+        """``emit(step, host_values)`` is called at flush time with
+        ``host_values = jax.device_get(device_values)``."""
+        self._buf.append((step, device_values, emit))
+        if len(self._buf) >= self.flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        import jax
+
+        host = jax.device_get([v for _, v, _ in self._buf])
+        for (step, _, emit), values in zip(self._buf, host):
+            emit(step, values)
+        self._buf.clear()
+
+
 class SummaryWriter:
     """tensorboardX writer with a no-op fallback."""
 
