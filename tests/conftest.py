@@ -22,6 +22,15 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: identical jit programs (shared tiny-model
+# fixtures across files, repeated suite runs, CLI subprocesses) skip XLA
+# compilation entirely — the dominant cost of this CPU-forced suite.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE_DIR = os.path.join(_REPO, ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np
 import pytest
 

@@ -28,6 +28,15 @@ def run_cli(script, cwd, *argv, timeout=420):
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # neutralize TPU registration
     env["JAX_PLATFORMS"] = "cpu"
+    # Persistent compile cache + XLA O0: these one-shot subprocesses compile
+    # full train/eval programs whose speed is irrelevant — only the compile
+    # wall time matters, and cached runs skip it entirely.
+    env["JAX_COMPILATION_CACHE_DIR"] = os.path.join(REPO, ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "-1"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0"
+    ).strip()
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, script), *argv],
         cwd=cwd, env=env, capture_output=True, text=True, timeout=timeout,
