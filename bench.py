@@ -1,23 +1,30 @@
 #!/usr/bin/env python
-"""Headline benchmark: slices/sec/chip, 224² CSWin-tiny inference.
+"""Driver benchmark. Prints one JSON line per metric, headline FIRST:
 
-Prints ONE JSON line:
-  {"metric": "slices_per_sec_per_chip", "value": N, "unit": "slices/s",
-   "vs_baseline": N / BASELINE}
+  {"metric": "slices_per_sec_per_chip", ...}        224² tiny inference
+  {"metric": "train_samples_per_sec_per_chip", ...} 224² tiny train step,
+                                                    reference recipe (bs 24,
+                                                    SGD poly, 0.4CE+0.6Dice)
+  {"metric": "slices384_per_sec_per_chip", ...}     384² base inference
 
-Methodology: two long chains of forwards (K_a=21, K_b=41) linked by a data
-dependence inside one jitted lax.scan each (execution serialized on-device,
-nothing elided), timed with a single host sync; per-forward time =
-(t_b − t_a) / (K_b − K_a). Differencing two long chains cancels both the
-host round-trip latency and any fixed per-dispatch overhead — both of which
-are large and noisy over this environment's TPU tunnel — leaving pure
-device throughput, which is what "slices/sec/chip" means.
+Methodology: two long chains of steps (K_a, K_b) linked by a data dependence
+inside one jitted lax.scan each (execution serialized on-device, nothing
+elided), timed with a single host sync; per-step time = (t_b − t_a) /
+(K_b − K_a). Differencing two long chains cancels both the host round-trip
+latency and any fixed per-dispatch overhead — both large and noisy over this
+environment's TPU tunnel — leaving pure device throughput.
 
 Baseline note: the reference repo records NO throughput anywhere (SURVEY.md
 §6); its inference runs batch-size-1, one slice per forward (utils.py:70-74).
 BASELINE is an estimate of that pipeline on an A100: a ~25 GFLOP forward at
-bs=1 is launch/overhead-bound at ~15-20 ms/slice => 60 slices/s. The
-BASELINE.json north star is >=5x that (300 slices/s).
+bs=1 is launch/overhead-bound at ~15-20 ms/slice => 60 slices/s (ESTIMATE,
+not a measurement — vs_baseline is quoted against it). The train baseline is
+the reference recipe's measured-class A100 bs-24 step (~1.4 it/s => ~34
+samples/s, same-class estimate).
+
+Modes: `python bench.py` runs all three; `python bench.py infer|train|infer384`
+runs one. Legacy positional form `bench.py <batch> <ka> <kb> [impl]` still
+works for kernel A/B comparisons.
 """
 
 import json
@@ -27,21 +34,13 @@ import time
 import numpy as np
 
 A100_BS1_BASELINE = 60.0  # slices/s, estimated reference pipeline (see above)
+A100_TRAIN_BASELINE = 34.0  # samples/s, estimated reference bs-24 train step
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-
+def _tiny(jnp, attn_impl="fused"):
     from cswin_unet_tpu.models import CSWinUNet, CSwinUnet
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    chain_a = int(sys.argv[2]) if len(sys.argv) > 2 else 21
-    chain_b = int(sys.argv[3]) if len(sys.argv) > 3 else 41
-    attn_impl = sys.argv[4] if len(sys.argv) > 4 else "fused"
-
-    model = CSwinUnet(
+    return CSwinUnet(
         backbone=CSWinUNet(
             img_size=224,
             num_classes=9,
@@ -54,9 +53,45 @@ def main():
             attn_impl=attn_impl,
         )
     )
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1))
+
+
+def _base384(jnp, attn_impl="fused"):
+    from cswin_unet_tpu.models import CSWinUNet, CSwinUnet
+
+    # configs/cswin_base_384.yaml geometry (stage resos 96/48/24/12)
+    return CSwinUnet(
+        backbone=CSWinUNet(
+            img_size=384,
+            num_classes=9,
+            embed_dim=96,
+            depth=(2, 4, 32, 2),
+            split_size=(1, 2, 12, 12),
+            num_heads=(4, 8, 16, 32),
+            drop_path_rate=0.5,
+            dtype=jnp.bfloat16,
+            attn_impl=attn_impl,
+        )
     )
+
+
+def _best_of(fn, n=3):
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def bench_infer(batch=128, chain_a=21, chain_b=41, attn_impl="fused",
+                img=224, metric="slices_per_sec_per_chip",
+                baseline=A100_BS1_BASELINE, model_fn=_tiny):
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    model = model_fn(jnp, attn_impl)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 1)))
 
     def chained(params, x, k):
         def body(carry, _):
@@ -70,34 +105,118 @@ def main():
     fb = jax.jit(lambda p, x: chained(p, x, chain_b))
 
     x = jnp.asarray(
-        np.random.default_rng(0).normal(size=(batch, 224, 224, 1)).astype(np.float32)
+        np.random.default_rng(0).normal(size=(batch, img, img, 1)).astype(np.float32)
     )
     float(fa(params, x))  # compile
     float(fb(params, x))
 
-    def best_of(f, n=3):
-        times = []
-        for _ in range(n):
-            t0 = time.perf_counter()
-            float(f(params, x))
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    ta = best_of(fa)
-    tb = best_of(fb)
+    ta = _best_of(lambda: float(fa(params, x)))
+    tb = _best_of(lambda: float(fb(params, x)))
     per_fwd = (tb - ta) / (chain_b - chain_a)
     slices_per_sec = batch / per_fwd
 
     print(
         json.dumps(
             {
-                "metric": "slices_per_sec_per_chip",
+                "metric": metric,
                 "value": round(slices_per_sec, 2),
                 "unit": "slices/s",
-                "vs_baseline": round(slices_per_sec / A100_BS1_BASELINE, 3),
+                "vs_baseline": round(slices_per_sec / baseline, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    return slices_per_sec
+
+
+def bench_train(batch=24, chain_a=6, chain_b=16, attn_impl="fused"):
+    """Full train step (fwd+bwd+SGD update, dropout/drop-path live) at the
+    reference recipe (trainer.py:42,61-63: bs 24, SGD momentum 0.9, poly)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import lax
+
+    from cswin_unet_tpu.losses import segmentation_loss
+    from cswin_unet_tpu.train.trainer import make_optimizer
+
+    model = _tiny(jnp, attn_impl)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 1)))
+    optimizer = make_optimizer(0.05, 10_000)
+    opt_state = optimizer.init(jax.device_get(params))
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.normal(size=(batch, 224, 224, 1)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 9, size=(batch, 224, 224)).astype(np.int32))
+
+    def one_step(params, opt_state, step_i):
+        def objective(p):
+            logits = model.apply(
+                p, image, deterministic=False,
+                rngs={"dropout": jax.random.fold_in(jax.random.PRNGKey(0), step_i)},
+            )
+            total, aux = segmentation_loss(logits, label, 9)
+            return total, aux
+
+        (_, aux), grads = jax.value_and_grad(objective, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, aux["loss"]
+
+    def chained(params, opt_state, k):
+        def body(carry, i):
+            p, s = carry
+            p, s, loss = one_step(p, s, i)
+            return (p, s), loss
+
+        (p, s), losses = lax.scan(body, (params, opt_state), jnp.arange(k))
+        return losses[-1]
+
+    fa = jax.jit(lambda p, s: chained(p, s, chain_a))
+    fb = jax.jit(lambda p, s: chained(p, s, chain_b))
+    float(fa(params, opt_state))
+    float(fb(params, opt_state))
+
+    ta = _best_of(lambda: float(fa(params, opt_state)))
+    tb = _best_of(lambda: float(fb(params, opt_state)))
+    per_step = (tb - ta) / (chain_b - chain_a)
+    samples_per_sec = batch / per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "train_samples_per_sec_per_chip",
+                "value": round(samples_per_sec, 2),
+                "unit": "samples/s",
+                "vs_baseline": round(samples_per_sec / A100_TRAIN_BASELINE, 3),
+            }
+        ),
+        flush=True,
+    )
+    return samples_per_sec
+
+
+def main():
+    args = sys.argv[1:]
+    if args and args[0].isdigit():  # legacy: batch [ka kb [impl]]
+        batch = int(args[0])
+        ka = int(args[1]) if len(args) > 1 else 21
+        kb = int(args[2]) if len(args) > 2 else 41
+        impl = args[3] if len(args) > 3 else "fused"
+        bench_infer(batch, ka, kb, impl)
+        return
+
+    mode = args[0] if args else "all"
+    if mode in ("all", "infer"):
+        bench_infer()
+    if mode in ("all", "train"):
+        bench_train()
+    if mode in ("all", "infer384"):
+        # bs 32 keeps the 4.7x-larger activations in comfortable HBM; the
+        # 384 geometry has 9.4x the FLOPs of tiny/224.
+        bench_infer(batch=32, chain_a=11, chain_b=21,
+                    metric="slices384_per_sec_per_chip",
+                    baseline=A100_BS1_BASELINE / 4.0,  # ~9.4x FLOPs, bs1 A100 est.
+                    model_fn=_base384, img=384)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,17 @@ class DataLoader:
         drop_last: bool = False,
         pad_final: bool = True,
         prefetch: int = 4,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index`` give multi-host data sharding: every
+        host shuffles the SAME epoch permutation (seed, epoch) and takes a
+        disjoint strided slice of it, so the union over hosts is exactly one
+        epoch and every host yields the same number of (padded) batches.
+        ``batch_size`` is per-host. SURVEY §2.7 ("host data sharding per
+        process when multi-host")."""
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -49,10 +59,17 @@ class DataLoader:
         self.drop_last = drop_last
         self.pad_final = pad_final
         self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self.epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_len(self) -> int:
+        # ceil split, matching _epoch_indices' equalized shards
         n = len(self.dataset)
+        return (n + self.num_shards - 1) // self.num_shards
+
+    def __len__(self) -> int:
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -65,10 +82,17 @@ class DataLoader:
         idx = np.arange(n)
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        if self.num_shards > 1:
+            # Equalize shard sizes first (wrap-pad the permutation), then
+            # stride — hosts stay in lockstep on batch count.
+            m = self._shard_len() * self.num_shards
+            if m > n:
+                idx = np.concatenate([idx, idx[: m - n]])
+            idx = idx[self.shard_index :: self.num_shards]
         if self.drop_last:
-            idx = idx[: (n // self.batch_size) * self.batch_size]
-        elif self.pad_final and n % self.batch_size:
-            pad = self.batch_size - n % self.batch_size
+            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
+        elif self.pad_final and len(idx) % self.batch_size:
+            pad = self.batch_size - len(idx) % self.batch_size
             idx = np.concatenate([idx, idx[:pad]])
         return idx
 
@@ -107,18 +131,29 @@ def _collate(samples: list[dict]) -> dict:
 def device_prefetch(iterator, sharding=None, size: int = 2):
     """Move numpy batches to device ahead of time (double-buffered).
 
-    Non-array entries (e.g. case_name lists) pass through on host.
+    Non-array entries (e.g. case_name lists) pass through on host. When the
+    sharding spans multiple processes (a multi-host mesh), each host's local
+    batch becomes its addressable shard of one global array
+    (``jax.make_array_from_process_local_data``) — the multi-host analogue of
+    the single-host sharded ``device_put``.
     """
     queue: Queue = Queue(maxsize=size)
     _sentinel = object()
+
+    multiproc = jax.process_count() > 1 and sharding is not None
+
+    def _put_one(v):
+        if sharding is None:
+            return jax.device_put(v)
+        if multiproc:
+            return jax.make_array_from_process_local_data(sharding, v)
+        return jax.device_put(v, sharding)
 
     def _put(batch):
         out = {}
         for k, v in batch.items():
             if isinstance(v, np.ndarray):
-                out[k] = (
-                    jax.device_put(v, sharding) if sharding is not None else jax.device_put(v)
-                )
+                out[k] = _put_one(v)
             else:
                 out[k] = v
         return out

@@ -151,34 +151,22 @@ def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
 
 
 def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
-    """Windows (H, sp). q,k,v: (G, H, W, C2). sp == 1 (stage-1 stripes) is a
-    pure 4-D transpose; sp > 1 loops the (cheap) windowing per image and
-    still batches ALL windows of all images into one dot — Mosaic rejects
-    the needed 5-D transpose and bf16 singleton shape-casts."""
+    """Windows (H, sp). q,k,v: (G, H, W, C2).
+
+    Computed on the TRANSPOSED image, where a (H, sp) window is sp contiguous
+    rows — plain sublane reshapes, no per-image loop, any G. Within-window
+    token order differs from the row-major composition ((w, h) vs (h, w)),
+    which is immaterial: softmax(QKᵀ)V is invariant to a shared permutation
+    of the window's tokens, and each output lands back at its own (h, w)
+    via the inverse transpose."""
     G, _, _, C2 = q.shape
     nW = W // sp
-    L = H * sp
 
-    if sp == 1:
-        def win(x):
-            return x.transpose(0, 2, 1, 3).reshape(G * W, H, C2)
+    def win(x):
+        return x.transpose(0, 2, 1, 3).reshape(G * nW, sp * H, C2)
 
-        out = _attn_windows(win(q), win(k), win(v), heads, scale)
-        out = out.reshape(G, W, H, C2).transpose(0, 2, 1, 3)
-    else:
-        def win(x):
-            parts = [
-                x[g].reshape(H, nW, sp, C2).transpose(1, 0, 2, 3).reshape(nW, L, C2)
-                for g in range(G)
-            ]
-            return parts[0] if G == 1 else jnp.concatenate(parts, 0)
-
-        out = _attn_windows(win(q), win(k), win(v), heads, scale)  # (G·nW, L, C2)
-        imgs = []
-        for g in range(G):
-            o = out[g * nW : (g + 1) * nW].reshape(nW, H, sp, C2)
-            imgs.append(o.transpose(1, 0, 2, 3).reshape(1, H, W, C2))
-        out = imgs[0] if G == 1 else jnp.concatenate(imgs, 0)
+    out = _attn_windows(win(q), win(k), win(v), heads, scale)
+    out = out.reshape(G, W, H, C2).transpose(0, 2, 1, 3)
     lepe = _lepe_full(v, lk, lb, H, sp)
     return (out.astype(jnp.float32) + lepe).astype(q.dtype)
 
@@ -227,19 +215,32 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
     o_ref[...] = x.reshape(G, H, W, C)
 
 
+def _default_g(B: int, H: int, W: int, C: int) -> int:
+    """Images per grid program. Small-image stages (3/4) batch several
+    images so the per-op VPU/MXU shapes amortize fixed overhead; stage 1's
+    f32 working set already fills VMEM at G=1 (G=4 there benched SLOWER:
+    1704 vs 1773 slices/s). Sweep data: scripts/sweep_g.py."""
+    tokens_bytes = H * W * C * 2  # bf16 activation block per image
+    g = 1
+    while g * 2 <= 16 and B % (g * 2) == 0 and tokens_bytes * g * 2 <= 256 * 1024:
+        g *= 2
+    return g
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("H", "W", "C", "heads", "split", "last_stage", "scale", "qkv_bias"),
+    static_argnames=("H", "W", "C", "heads", "split", "last_stage", "scale",
+                     "qkv_bias", "g_images"),
 )
-def _fused_block_fwd(x, params, *, H, W, C, heads, split, last_stage, scale, qkv_bias):
+def _fused_block_fwd(x, params, *, H, W, C, heads, split, last_stage, scale,
+                     qkv_bias, g_images=None):
     B = x.shape[0]
     (n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1, projk, projb,
      n2s, n2b, fc1k, fc1b, fc2k, fc2b) = params
 
-    # Images per program: measured G=4 at 1704 slices/s vs G=1 at 1773 on
-    # v5e bs128 — the bigger VMEM working set costs more than the per-program
-    # overhead it saves, so stay at 1 (the kernel body supports any G).
-    G = 1
+    G = g_images if g_images is not None else _default_g(B, H, W, C)
+    while B % G:
+        G //= 2
 
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)

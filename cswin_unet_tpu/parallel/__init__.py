@@ -4,6 +4,9 @@ from .mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    replicate,
+    multihost_barrier,
+    process_shard_info,
 )
 
 __all__ = [
@@ -12,4 +15,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "replicate",
+    "multihost_barrier",
+    "process_shard_info",
 ]

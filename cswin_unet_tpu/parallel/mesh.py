@@ -56,6 +56,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def replicate(tree, sharding: NamedSharding):
+    """Replicate a pytree of host arrays onto a (possibly multi-host) mesh.
+
+    Single-process: plain sharded device_put. Multi-process: every host holds
+    the full value (same seed / same checkpoint), so each host's copy becomes
+    its addressable shards of one fully-replicated global array."""
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            tree,
+        )
+    return jax.device_put(tree, sharding)
+
+
+def multihost_barrier(name: str = "barrier") -> None:
+    """Synchronize all hosts of a multi-process run (no-op single-process).
+
+    Used at trainer epoch boundaries so checkpoint writes and loader epoch
+    advances stay in lockstep across hosts of a pod (SURVEY §2.7)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def process_shard_info() -> tuple[int, int]:
+    """(shard_index, num_shards) for per-host dataset sharding."""
+    return jax.process_index(), jax.process_count()
+
+
 def shard_batch(batch: dict, sharding: NamedSharding) -> dict:
     """device_put numpy arrays in a batch dict with the batch sharding."""
     out = {}

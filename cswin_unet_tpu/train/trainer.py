@@ -29,7 +29,14 @@ import optax
 
 from ..data import DataLoader, RandomGenerator, SynapseDataset, device_prefetch
 from ..losses import segmentation_loss
-from ..parallel import batch_sharding, make_mesh_for_batch, replicated_sharding
+from ..parallel import (
+    batch_sharding,
+    make_mesh_for_batch,
+    multihost_barrier,
+    replicate,
+    process_shard_info,
+    replicated_sharding,
+)
 from ..utils.checkpoint import restore_train_state, save_checkpoint, save_train_state
 from ..utils.logging_utils import MetricBuffer, SummaryWriter, setup_logging
 
@@ -109,18 +116,26 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
     )
     print(f"The length of train set is: {len(db_train)}")
 
+    # Multi-host pods: each process loads a disjoint shard of every epoch and
+    # a per-host slice of the global batch; the global array is assembled in
+    # device_prefetch. Single-host: (0, 1) → no sharding.
+    shard_index, num_shards = process_shard_info()
+    if batch_size % num_shards:
+        raise ValueError(f"batch_size {batch_size} not divisible by {num_shards} hosts")
     trainloader = DataLoader(
         db_train,
-        batch_size,
+        batch_size // num_shards,
         shuffle=True,
         seed=args.seed,
         num_workers=getattr(args, "num_workers", 8),
+        num_shards=num_shards,
+        shard_index=shard_index,
     )
 
     mesh = make_mesh_for_batch(batch_size)
     bsh = batch_sharding(mesh)
     rsh = replicated_sharding(mesh)
-    params = jax.device_put(params, rsh)
+    params = replicate(params, rsh)
 
     max_epoch = args.max_epochs
     max_iterations = max_epoch * len(trainloader)
@@ -129,7 +144,7 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
     )
 
     optimizer = make_optimizer(base_lr, max_iterations)
-    opt_state = jax.device_put(optimizer.init(jax.tree.map(jnp.asarray, params)), rsh)
+    opt_state = replicate(optimizer.init(jax.device_get(params)), rsh)
     train_step = make_train_step(
         model, optimizer, num_classes, device_augment=device_augment
     )
@@ -146,8 +161,8 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
         params_t, opt_t, iter_num = restore_train_state(
             resume, jax.device_get(params), jax.device_get(opt_state)
         )
-        params = jax.device_put(params_t, rsh)
-        opt_state = jax.device_put(opt_t, rsh)
+        params = replicate(params_t, rsh)
+        opt_state = replicate(opt_t, rsh)
         start_epoch = iter_num // max(1, len(trainloader))
         trainloader.set_epoch(start_epoch)
         logging.info(f"resumed from {resume} at iteration {iter_num} (epoch {start_epoch})")
@@ -201,16 +216,19 @@ def trainer_synapse(args, model, params, snapshot_path: str) -> str:
         save_interval = 3
         is_last = epoch_num >= max_epoch - 1
         if (epoch_num > int(max_epoch / 2) and (epoch_num + 1) % save_interval == 0) or is_last:
-            save_mode_path = os.path.join(snapshot_path, f"epoch_{epoch_num}.npz")
-            save_checkpoint(save_mode_path, params)
-            logging.info(f"save model to {save_mode_path}")
-            try:
-                save_train_state(
-                    os.path.join(snapshot_path, "train_state"), params, opt_state,
-                    iter_num,
-                )
-            except Exception as e:  # orbax is optional at runtime
-                logging.info(f"train_state save skipped: {e}")
+            multihost_barrier("pre-checkpoint")  # all hosts done with the epoch
+            if shard_index == 0:  # params are replicated; one host writes
+                save_mode_path = os.path.join(snapshot_path, f"epoch_{epoch_num}.npz")
+                save_checkpoint(save_mode_path, params)
+                logging.info(f"save model to {save_mode_path}")
+                try:
+                    save_train_state(
+                        os.path.join(snapshot_path, "train_state"), params, opt_state,
+                        iter_num,
+                    )
+                except Exception as e:  # orbax is optional at runtime
+                    logging.info(f"train_state save skipped: {e}")
+            multihost_barrier("post-checkpoint")
         if is_last:
             break
 

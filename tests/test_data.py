@@ -103,3 +103,84 @@ def test_augmentation_branches_cover_rot_flip_and_rotate(synth):
         else:
             outcomes.add("rotate")
     assert outcomes == {"identity", "rot_flip", "rotate"}
+
+
+class _IdxDataset:
+    """Minimal dataset: sample i == {'image': [i]} — for sharding math tests."""
+
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i, rng=None):
+        return {"image": np.array([i], np.int64)}
+
+
+def _drain(loader):
+    ids = []
+    for b in loader:
+        ids.extend(int(v) for v in b["image"][:, 0])
+    return ids
+
+
+def test_loader_process_shards_partition_epoch():
+    """Multi-host sharding: same-epoch shards are disjoint, cover the
+    dataset, and every shard yields the SAME number of batches."""
+    n, bs, shards = 23, 4, 3
+    per_shard = []
+    for r in range(shards):
+        dl = DataLoader(_IdxDataset(n), bs, shuffle=True, seed=5,
+                        num_workers=2, num_shards=shards, shard_index=r)
+        dl.set_epoch(0)
+        per_shard.append(_drain(dl))
+    lens = {len(s) for s in per_shard}
+    assert lens == {8}  # ceil(ceil(23/3)/4)*4 — lockstep across hosts
+    seen = set()
+    for s in per_shard:
+        seen.update(s)
+    assert seen == set(range(n))  # union covers the epoch exactly
+    # disjoint before padding: first shard_len entries of each shard
+    core = [set(s[: (n + shards - 1) // shards]) for s in per_shard]
+    assert sum(len(c) for c in core) >= n
+
+
+def test_loader_shard_epoch_permutation_consistent():
+    """All hosts shuffle the same permutation: shard 0 of a 1-shard loader
+    equals the interleave of the 2-shard loaders."""
+    n, bs = 12, 3
+    full = DataLoader(_IdxDataset(n), bs, shuffle=True, seed=9, num_workers=1)
+    full.set_epoch(4)
+    order = _drain(full)
+    parts = []
+    for r in range(2):
+        dl = DataLoader(_IdxDataset(n), bs, shuffle=True, seed=9,
+                        num_workers=1, num_shards=2, shard_index=r)
+        dl.set_epoch(4)
+        parts.append(_drain(dl))
+    interleaved = [parts[i % 2][i // 2] for i in range(n)]
+    assert interleaved == order
+
+
+def test_loader_shard_index_validation():
+    with pytest.raises(ValueError):
+        DataLoader(_IdxDataset(4), 2, num_shards=2, shard_index=2)
+
+
+def test_multihost_helpers_single_process():
+    import jax
+
+    from cswin_unet_tpu.parallel import (
+        make_mesh, multihost_barrier, process_shard_info, replicate,
+        replicated_sharding,
+    )
+
+    assert process_shard_info() == (0, 1)
+    multihost_barrier("noop")  # single-process: must be a no-op
+    mesh = make_mesh(8)
+    rsh = replicated_sharding(mesh)
+    tree = {"w": np.arange(6, dtype=np.float32)}
+    out = replicate(tree, rsh)
+    assert len(out["w"].sharding.device_set) == 8
+    np.testing.assert_array_equal(np.asarray(out["w"]), tree["w"])

@@ -1,0 +1,83 @@
+"""Fused whole-block Pallas kernel vs the XLA composition (exact oracle).
+
+Runs the kernel in interpret mode on CPU across all four stage-geometry
+shapes (both stripe orientations, sp == 1 and sp > 1, last-stage full
+window) and at G > 1 images-per-program — the layouts the TPU kernel
+actually compiles for the tiny/224 and base/384 models.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cswin_unet_tpu.ops.pallas.cswin_block import (
+    _fused_block_fwd,
+    composed_block,
+)
+
+
+def _params(rng, C, cb):
+    def mk(*shape, s=0.1):
+        return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * s)
+
+    return (
+        mk(C, s=0.3) + 1.0, mk(C),                    # norm1 scale/bias
+        mk(C, 3 * C), mk(3 * C),                      # qkv
+        mk(3, 3, cb), mk(cb),                         # lepe0
+        mk(3, 3, cb), mk(cb),                         # lepe1
+        mk(C, C), mk(C),                              # proj
+        mk(C, s=0.3) + 1.0, mk(C),                    # norm2
+        mk(C, 4 * C), mk(4 * C),                      # fc1
+        mk(4 * C, C), mk(C),                          # fc2
+    )
+
+
+GEOMETRIES = [
+    # (H, W, C, heads, split, last, g) — mirrors stages 1-4 incl. sp>1 vertical
+    (8, 8, 16, 2, 1, False, 1),
+    (8, 8, 16, 2, 2, False, 1),   # sp>1: transposed-vertical windowing path
+    (8, 8, 32, 4, 4, False, 2),   # G=2 images per program
+    (4, 4, 32, 4, 4, True, 2),    # last-stage full window
+]
+
+
+@pytest.mark.parametrize("H,W,C,heads,split,last,g", GEOMETRIES)
+def test_fused_block_matches_composed(H, W, C, heads, split, last, g):
+    rng = np.random.default_rng(42)
+    cb = C if last else C // 2
+    params = _params(rng, C, cb)
+    B = 2 * g
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+
+    fused = _fused_block_fwd(
+        x, params, H=H, W=W, C=C, heads=heads, split=split, last_stage=last,
+        scale=scale, qkv_bias=True, g_images=g,
+    )
+    ref = composed_block(x, params, H, W, C, heads, split, last, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_fused_block_bf16_close():
+    """bf16 activations: fused and composed agree to bf16 resolution."""
+    H, W, C, heads, split = 8, 8, 16, 2, 2
+    rng = np.random.default_rng(7)
+    params = _params(rng, C, C // 2)
+    x = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+    scale = (C // heads) ** -0.5
+    fused = _fused_block_fwd(
+        x, params, H=H, W=W, C=C, heads=heads, split=split, last_stage=False,
+        scale=scale, qkv_bias=True, g_images=1,
+    )
+    ref = composed_block(x, params, H, W, C, heads, split, False, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(fused, np.float32), np.asarray(ref, np.float32),
+        rtol=0.06, atol=0.06,
+    )
