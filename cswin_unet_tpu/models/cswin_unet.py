@@ -29,6 +29,7 @@ from __future__ import annotations
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -146,9 +147,10 @@ class CSWinBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
 
-    def _fused(self, x, H, W, C, last):
+    def _fused(self, x, H, W, C, last, dps=None):
         """Whole-block Pallas megakernel path. Param scopes/names/shapes are
-        identical to the composed path, so checkpoints are interchangeable."""
+        identical to the composed path, so checkpoints are interchangeable.
+        ``dps``: per-sample drop-path multipliers for training."""
         from ..ops.pallas.cswin_block import fused_cswin_block
         from .initializers import torch_conv_bias as _tcb, torch_conv_kernel as _tck
 
@@ -189,7 +191,7 @@ class CSWinBlock(nn.Module):
             projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
         )
         return fused_cswin_block(
-            x.astype(self.dtype), params, H, W, C, self.num_heads,
+            x.astype(self.dtype), params, dps, H, W, C, self.num_heads,
             self.split_size, last, scale, self.qkv_bias,
         )
 
@@ -203,8 +205,24 @@ class CSWinBlock(nn.Module):
 
         if self.attn_impl == "fused" and deterministic:
             return self._fused(x, H, W, C, last)
-        # 'fused' covers only the deterministic path; training (drop-path
-        # active) composes modules with the pallas attention kernel.
+        if self.attn_impl == "fused" and self.drop == 0.0 and self.attn_drop == 0.0:
+            # Training path: fused forward with per-sample drop-path masks as
+            # kernel inputs (timm DropPath semantics — binary keep mask
+            # scaled by 1/(1-p)); backward replays the XLA composition via
+            # custom_vjp. Dropout inside attention/MLP is 0 in every config,
+            # so the fused kernel covers training exactly.
+            if self.drop_path > 0.0:
+                rng = self.make_rng("dropout")
+                r0, r1 = jax.random.split(rng)
+                keep = 1.0 - self.drop_path
+                dp0 = jax.random.bernoulli(r0, keep, (B, 1)).astype(jnp.float32) / keep
+                dp1 = jax.random.bernoulli(r1, keep, (B, 1)).astype(jnp.float32) / keep
+                dps = (dp0, dp1)
+            else:
+                dps = None
+            return self._fused(x, H, W, C, last, dps=dps)
+        # Composed fallback (nonzero attention/MLP dropout) with the
+        # per-branch pallas attention kernel.
         attn_impl = "pallas" if self.attn_impl == "fused" else self.attn_impl
 
         img = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
@@ -442,7 +460,18 @@ class CSWinUNet(nn.Module):
             (("kernel", (1, 1, ed, self.num_classes), torch_conv_kernel),),
             name="output",
         )()
-        x = carafe_with_classifier(
-            x.astype(self.dtype), *up_params, cls_kernel, kernel_size=k, up_factor=up
-        )
+        if self.attn_impl == "fused":
+            # Pallas tail: the XLA tail is the most expensive op of the whole
+            # forward (20.5 ms of a 72 ms bs128 run — scripts/profile_tail.py);
+            # the kernel keeps reassembly in VMEM. custom_vjp replays the XLA
+            # composition for gradients.
+            from ..ops.pallas.carafe_tail import carafe_tail
+
+            x = carafe_tail(x.astype(self.dtype), *up_params, cls_kernel,
+                            up_factor=up)
+        else:
+            x = carafe_with_classifier(
+                x.astype(self.dtype), *up_params, cls_kernel, kernel_size=k,
+                up_factor=up,
+            )
         return x.astype(jnp.float32)

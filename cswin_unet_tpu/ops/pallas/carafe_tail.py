@@ -1,0 +1,204 @@
+"""Fused CARAFE4 + classifier tail Pallas kernel.
+
+The model tail (reference cswin_unet.py:536-544: CARAFE4(64,64) then 1x1
+conv to num_classes) is the single most expensive piece of the XLA forward
+at 224²/bs128 — 20.5 ms measured (scripts/profile_tail.py), dominated by the
+(B,56,56,C,up²) f32 reassembly intermediate (~411 MB of HBM traffic).
+
+This kernel keeps the whole tail in VMEM per image:
+
+  x (56,56,64) ─┬─ down 1x1 ─ im2col 3x3 ─ encoder matmul → enc (HW, k²·up²)
+                │   softmax over the k² taps per up-position, segmented via
+                │   two tiny MXU selector matmuls (sum + spread) and a
+                │   global row max (valid: any per-row constant shift)
+                └─ y9 = x @ (W_out·W_cls) (classes before reassembly — exact,
+                    taps sum to 1; see ops.carafe.carafe_with_classifier)
+  acc (HW, NC·up²) += repeat(shift(y9), up²) * tile(kern_tap)   [9 taps]
+  out = acc + b_out·W_cls   →  (B, 56, 56, NC·up²)
+
+and leaves ONLY the depth-to-space pixel shuffle to XLA (a bandwidth-bound
+HBM relayout of the small class-channel tensor). Exact same math as
+``carafe_with_classifier``; f32 accumulation throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift2d(x, di, dj):
+    """Zero-fill shift of (H, W, C): out[r, c] = x[r-di, c-dj]."""
+    H, W, C = x.shape
+    if di:
+        pad = jnp.zeros((abs(di), W, C), x.dtype)
+        x = (jnp.concatenate([pad, x[:-di]], 0) if di > 0
+             else jnp.concatenate([x[-di:], pad], 0))
+    if dj:
+        pad = jnp.zeros((H, abs(dj), C), x.dtype)
+        x = (jnp.concatenate([pad, x[:, :-dj]], 1) if dj > 0
+             else jnp.concatenate([x[:, -dj:], pad], 1))
+    return x
+
+
+def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
+            expand_sel, o_ref, *, H, W, C, NC, UP2, G):
+    K2 = 9
+    HW = H * W
+
+    x2 = x_ref[...].reshape(G * HW, C)
+
+    # --- kernel prediction ---
+    mid = jnp.dot(x2, wdown[...].astype(x2.dtype),
+                  preferred_element_type=jnp.float32)
+    mid = (mid + bdown[...].astype(jnp.float32)).astype(x2.dtype)  # (GHW, C/4)
+    cm = mid.shape[-1]
+    mid_img = mid.reshape(H, W, cm)  # one image per program
+    # shift (di, dj) yields mid[r-di, c-dj], which the cross-correlation
+    # pairs with weight row (1-di, 1-dj) — so iterate di,dj DESCENDING to
+    # match wenc's row-major (a, b, c') reshape order.
+    patches = jnp.concatenate(
+        [_shift2d(mid_img, di, dj) for di in (1, 0, -1) for dj in (1, 0, -1)],
+        -1,
+    ).reshape(HW, K2 * cm)
+    enc = jnp.dot(patches, wenc[...].astype(patches.dtype),
+                  preferred_element_type=jnp.float32)
+    enc = enc + benc[...].astype(jnp.float32)              # (HW, k2*up2) f32
+
+    # --- softmax over the k² taps for each up-position s (lane k2-major:
+    # lane = k*UP2 + s). Global row max is a valid stabilizer (same constant
+    # within every (row, s) group); sum/spread via constant selector matmuls.
+    m = jnp.max(enc, axis=-1, keepdims=True)
+    e = jnp.exp(enc - m)
+    # f32 selector matmuls: tiny (144x16), keeps softmax at f32 precision.
+    sums = jnp.dot(e, sum_sel[...], preferred_element_type=jnp.float32)
+    denom = jnp.dot(sums, spread_sel[...],
+                    preferred_element_type=jnp.float32)     # (HW, k2*up2)
+    kern = (e / denom).astype(x2.dtype).reshape(H, W, K2 * UP2)
+
+    # --- classes before reassembly ---
+    y9 = jnp.dot(x2, wy9[...].astype(x2.dtype),
+                 preferred_element_type=jnp.float32).astype(x2.dtype)
+    y9 = y9.reshape(H, W, NC)
+
+    # --- 9-tap reassembly on s-major (up²·NC) lanes: lane = s·NC + n.
+    # pltpu.repeat TILES its operand, so repeat(y9, UP2) is exactly the
+    # s-major class vector; the tap weights are expanded to the same layout
+    # by a constant 0/1 selector matmul (E[s, s·NC+n] = 1).
+    acc = jnp.zeros((H, W, NC * UP2), jnp.float32)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            # shifted[r,c] = y9[r-di, c-dj] pairs with reference tap
+            # (1-di, 1-dj) (extract_patches_3x3 order, ops/carafe.py:42-46).
+            tap = (1 - di) * 3 + (1 - dj)
+            src = pltpu.repeat(_shift2d(y9, di, dj), UP2, 2)  # (H,W,UP2*NC)
+            wk = kern[:, :, tap * UP2 : (tap + 1) * UP2]      # (H,W,UP2)
+            wk = jnp.dot(wk.reshape(HW, UP2),
+                         expand_sel[...].astype(wk.dtype),
+                         preferred_element_type=jnp.float32).reshape(H, W, NC * UP2)
+            acc = acc + src.astype(jnp.float32) * wk
+
+    o_ref[...] = acc.astype(o_ref.dtype).reshape(1, H, W, NC * UP2)
+
+
+def _sum_selector(k2: int, up2: int) -> np.ndarray:
+    """(k2·up2, up2) 0/1: column s sums lanes {k·up2+s}."""
+    sel = np.zeros((k2 * up2, up2), np.float32)
+    for k in range(k2):
+        for s in range(up2):
+            sel[k * up2 + s, s] = 1.0
+    return sel
+
+
+@functools.partial(jax.jit, static_argnames=("up_factor",))
+def carafe_tail_pallas(x, down_kernel, down_bias, encoder_kernel, encoder_bias,
+                       out_kernel, out_bias, cls_kernel, *, up_factor=4):
+    """(B, H, W, C) -> (B, up·H, up·W, NC) logits; exact
+    carafe_with_classifier math (ops/carafe.py:167-229), fused in VMEM."""
+    B, H, W, C = x.shape
+    K2 = 9
+    UP = up_factor
+    UP2 = UP * UP
+    cm = down_kernel.shape[-1]
+    NC = cls_kernel.shape[-1]
+
+    wdown = down_kernel.reshape(C, cm)
+    wenc = encoder_kernel.reshape(K2 * cm, K2 * UP2)
+    w_cls = cls_kernel[0, 0]
+    wy9 = out_kernel[0, 0] @ w_cls                          # (C, NC)
+    bias_comb = out_bias @ w_cls                            # (NC,)
+    sum_sel = jnp.asarray(_sum_selector(K2, UP2))
+    spread_sel = sum_sel.T                                   # (up2, k2*up2)
+    expand = np.zeros((UP2, UP2 * NC), np.float32)           # E[s, s*NC+n]=1
+    for s in range(UP2):
+        expand[s, s * NC : (s + 1) * NC] = 1.0
+    expand_sel = jnp.asarray(expand)
+
+    full = lambda a: pl.BlockSpec(a.shape, lambda b: tuple(0 for _ in a.shape),
+                                  memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    o_spec = pl.BlockSpec((1, H, W, NC * UP2), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    consts = (wdown, down_bias, wenc, encoder_bias, wy9, sum_sel, spread_sel,
+              expand_sel)
+
+    kern = functools.partial(_kernel, H=H, W=W, C=C, NC=NC, UP2=UP2, G=1)
+    t = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[x_spec] + [full(c) for c in consts],
+        out_specs=o_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, W, NC * UP2), x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(x, *consts)
+
+    # bias (taps sum to 1 ⇒ passes through reassembly) + depth-to-space.
+    # Lanes are s-major: lane = (i·UP + j)·NC + n.
+    t = t.reshape(B, H, W, UP, UP, NC) + bias_comb.astype(t.dtype)
+    t = t.transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(B, H * UP, W * UP, NC)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def carafe_tail(x, down_kernel, down_bias, encoder_kernel, encoder_bias,
+                out_kernel, out_bias, cls_kernel, up_factor=4):
+    """Differentiable fused tail: Pallas forward, XLA-composition backward
+    (identical math — ops/carafe.py:167-229)."""
+    return carafe_tail_pallas(
+        x, down_kernel, down_bias, encoder_kernel, encoder_bias,
+        out_kernel, out_bias, cls_kernel, up_factor=up_factor)
+
+
+def _tail_fwd(x, dk, db, ek, eb, ok, ob, ck, up_factor):
+    out = carafe_tail(x, dk, db, ek, eb, ok, ob, ck, up_factor)
+    return out, (x, dk, db, ek, eb, ok, ob, ck)
+
+
+def _tail_bwd(up_factor, residuals, g):
+    from ..carafe import carafe_with_classifier
+
+    def ref(x, dk, db, ek, eb, ok, ob, ck):
+        return carafe_with_classifier(x, dk, db, ek, eb, ok, ob, ck,
+                                      kernel_size=3, up_factor=up_factor)
+
+    # CPU XLA's DotThunk has no BF16 x BF16 = F32 instantiation; the
+    # transposed tap-einsums the vjp emits hit exactly that combo when this
+    # backward is compiled in isolation. Upcast on CPU (test backend only —
+    # TPU keeps the bf16 MXU dots).
+    if jax.default_backend() == "cpu":
+        dtypes = [r.dtype for r in residuals]
+        residuals = tuple(r.astype(jnp.float32) for r in residuals)
+        grads = jax.vjp(ref, *residuals)[1](g.astype(jnp.float32))
+        return tuple(gr.astype(dt) for gr, dt in zip(grads, dtypes))
+    _, vjp = jax.vjp(ref, *residuals)
+    return vjp(g)
+
+
+carafe_tail.defvjp(_tail_fwd, _tail_bwd)

@@ -1,24 +1,28 @@
-"""Fused CSWin transformer BLOCK Pallas kernel (inference path).
+"""Fused CSWin transformer BLOCK Pallas kernel.
 
-One grid program = one batch image = one whole CSWinBlock:
+One grid program = G batch images = one whole CSWinBlock:
 
     LN1 (f32 stats) -> qkv matmul (MXU) -> two stripe-attention branches
-    (windowing, softmax(QKᵀ)V, LePE — all in VMEM) -> proj matmul ->
-    residual -> LN2 -> MLP (matmul, exact-erf GELU, matmul) -> residual
+    (windowing, merged-window softmax(QKᵀ)V, windowed LePE — all in VMEM)
+    -> proj matmul -> [drop-path] -> residual -> LN2 -> MLP (matmul,
+    exact-erf GELU, matmul) -> [drop-path] -> residual
 
-HBM traffic collapses to one read of x + the (small) parameters and one
-write of the output; the composed path (flax CSWinBlock) touches HBM ~12
-times per block. Intra-block ablation at stage-1 geometry showed XLA spends
-7.8 ms/block at bs128 where the matmul roofline is <1 ms — all overhead
-this kernel removes.
+HBM traffic collapses to one read of x (+xᵀ) + the (small) parameters and
+one write of the output; the composed path (flax CSWinBlock) touches HBM
+~12 times per block. Intra-block ablation at stage-1 geometry showed XLA
+spends 7.8 ms/block at bs128 where the matmul roofline is <1 ms
+(scripts/ablate_block.py breaks down where the kernel's time goes).
 
-Both stripe orientations live in one kernel (full image per program), so
-the vertical branch needs no HBM transpose routing. Used only on the
-deterministic (no drop-path) path; training takes the composed modules, and
-the custom_vjp backward re-runs the composed forward for gradients.
+Two kernel variants: ``_block_kernel_xt`` (default for dual-branch blocks)
+receives the XLA-transposed image and computes the vertical branch
+transpose-free; ``_block_kernel`` is the single-input fallback and the
+last-stage (full-window) path. Training uses the same kernels with
+per-sample drop-path multipliers as inputs; the custom_vjp backward
+re-runs the XLA composition for gradients.
 
 Numerics mirror the flax composition: LN statistics in f32, matmul
-accumulation f32 (cast to the activation dtype between ops), exact erf GELU.
+accumulation f32 (cast to the activation dtype between ops), exact erf
+GELU, block-diagonal window merging is exact (masked probs are exp(-1e9)).
 """
 
 from __future__ import annotations
@@ -114,30 +118,107 @@ def _lepe_full(v_img, lk, lb, sp_h, sp_w):
     return acc + lb.astype(jnp.float32)
 
 
-def _attn_windows(q, k, v, heads, scale):
+def _shift_zero(x, di, dj):
+    """Zero-fill shift of (n, h, w, C) over (h, w) via static pad+concat
+    (bf16-friendly; circular rolls lower only in f32). Returns None when the
+    shift leaves the window entirely."""
+    n, h, w, c = x.shape
+    if abs(di) >= h or abs(dj) >= w:
+        return None
+    if di:
+        pad = jnp.zeros((n, abs(di), w, c), x.dtype)
+        x = (jnp.concatenate([pad, x[:, :-di]], axis=1) if di > 0
+             else jnp.concatenate([x[:, -di:], pad], axis=1))
+    if dj:
+        pad = jnp.zeros((n, h, abs(dj), c), x.dtype)
+        x = (jnp.concatenate([pad, x[:, :, :-dj]], axis=2) if dj > 0
+             else jnp.concatenate([x[:, :, -dj:], pad], axis=2))
+    return x
+
+
+def _lepe_windows(vw, lk, lb, swap=False):
+    """Depthwise 3x3 LePE on WINDOWED v (n, sp_h, sp_w, C) -> same shape.
+
+    Window confinement is free — the window boundaries ARE the tensor
+    boundaries of dims 1/2, so sp_h >= 2 uses zero-fill concat shifts in the
+    activation dtype (vs the image-layout path's f32 rolls + iota masks).
+    sp_h == 1 windows degenerate to a 3-tap row conv, done with f32 rolls +
+    boundary masks — Mosaic rejects concat shifts when a unit dim sits next
+    to the tiled dims ("offset mismatch on non-concat dimension").
+    ``swap=True`` pairs shifts with transposed taps, for branches computed
+    in transposed image coordinates."""
+    n, sp_h, sp_w, c = vw.shape
+    if sp_h == 1:
+        vf = vw.reshape(n, sp_w, c).astype(jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, sp_w), 1)
+        acc = jnp.zeros((n, sp_w, c), jnp.float32)
+        for dj in (-1, 0, 1):
+            s = pltpu.roll(vf, dj % sp_w, 1) if dj else vf
+            ok = ((col - dj >= 0) & (col - dj < sp_w)).astype(jnp.float32)
+            tap = lk[1 - dj, 1] if swap else lk[1, 1 - dj]
+            acc += s * ok[..., None] * tap.astype(jnp.float32)
+        return (acc + lb.astype(jnp.float32)).reshape(vw.shape)
+    acc = jnp.zeros(vw.shape, jnp.float32)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            s = _shift_zero(vw, di, dj)
+            if s is None:
+                continue
+            tap = lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]
+            acc += s.astype(jnp.float32) * tap.astype(jnp.float32)
+    return acc + lb.astype(jnp.float32)
+
+
+def _window_merge(n: int, L: int) -> int:
+    """Windows to pack per dot: small stripe windows (L <= 64) leave most of
+    a 128-wide MXU tile idle AND the batched dot's per-issue overhead
+    dominates (measured ~1.6 ms/block at stage 1 for 56x32x56 dots). Packing
+    m windows block-diagonally into one (m*L, d) dot halves/quarters the
+    issue count without adding MXU tiles while m*L <= 128."""
+    m = 1
+    while m * 2 * L <= 128 and n % (m * 2) == 0:
+        m *= 2
+    return m
+
+
+def _attn_windows(q, k, v, heads, scale, merge=None):
     """q,k,v: (n, L, C) -> (n, L, C). Windows are the BATCH dim of one
     batched dot_general per head (Mosaic lowers single-batch-dim dots), so
-    nothing unrolls over windows — compile time stays flat in n."""
+    nothing unrolls over windows — compile time stays flat in n. Small
+    windows are additionally packed ``merge`` per dot with block-diagonal
+    -inf masking (exact: masked probabilities are exp(-1e9) == 0)."""
     n, L, C = q.shape
     d = C // heads
+    m = _window_merge(n, L) if merge is None else merge
+    mask = None
+    if m > 1:
+        q = q.reshape(n // m, m * L, C)
+        k = k.reshape(n // m, m * L, C)
+        v = v.reshape(n // m, m * L, C)
+        row = jax.lax.broadcasted_iota(jnp.int32, (m * L, m * L), 0) // L
+        col = jax.lax.broadcasted_iota(jnp.int32, (m * L, m * L), 1) // L
+        mask = jnp.where(row == col, 0.0, -1e9).astype(jnp.float32)[None]
     outs = []
     for h in range(heads):
         sl = slice(h * d, (h + 1) * d)
         qh = q[:, :, sl] * scale
         s = jax.lax.dot_general(qh, k[:, :, sl], (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
+        if mask is not None:
+            s = s + mask
         p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
         outs.append(
             jax.lax.dot_general(p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         )
     out = outs[0] if heads == 1 else jnp.concatenate(outs, -1)
-    return out.astype(q.dtype)
+    return out.astype(q.dtype).reshape(n, L, C)
 
 
 def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
     """Windows (sp, W): pure reshapes. q,k,v: (G, H, W, C2); all G images'
-    windows ride the same batched dot."""
+    windows ride the same batched dot; LePE on the windowed v (mask-free
+    zero-fill shifts)."""
     G, _, _, C2 = q.shape
     nH = H // sp
     L = sp * W
@@ -145,9 +226,11 @@ def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
     def win(x):
         return x.reshape(G * nH, L, C2)
 
-    out = _attn_windows(win(q), win(k), win(v), heads, scale).reshape(G, H, W, C2)
-    lepe = _lepe_full(v, lk, lb, sp, W)
-    return (out.astype(jnp.float32) + lepe).astype(q.dtype)
+    vw = win(v)
+    out = _attn_windows(win(q), win(k), vw, heads, scale)
+    lepe = _lepe_windows(vw.reshape(G * nH, sp, W, C2), lk, lb)
+    out = (out.reshape(G * nH, sp, W, C2).astype(jnp.float32) + lepe)
+    return out.astype(q.dtype).reshape(G, H, W, C2)
 
 
 def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
@@ -158,7 +241,8 @@ def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
     token order differs from the row-major composition ((w, h) vs (h, w)),
     which is immaterial: softmax(QKᵀ)V is invariant to a shared permutation
     of the window's tokens, and each output lands back at its own (h, w)
-    via the inverse transpose."""
+    via the inverse transpose. LePE runs in the same transposed window
+    layout with transposed taps."""
     G, _, _, C2 = q.shape
     nW = W // sp
 
@@ -167,13 +251,79 @@ def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
 
     out = _attn_windows(win(q), win(k), win(v), heads, scale)
     out = out.reshape(G, W, H, C2).transpose(0, 2, 1, 3)
+    # LePE on the image-layout v: the transpose-derived windowed layout
+    # breaks Mosaic's concat lowering in composition, so this branch keeps
+    # the f32 roll + iota-mask formulation.
     lepe = _lepe_full(v, lk, lb, H, sp)
     return (out.astype(jnp.float32) + lepe).astype(q.dtype)
 
 
+def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
+                     lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
+                     fc1k, fc1b, fc2k, fc2b, dp0, dp1, o_ref, *,
+                     H, W, C, heads, split, scale, qkv_bias, G, droppath):
+    """Dual-branch block with the vertical branch computed ENTIRELY in the
+    transposed layout: the kernel receives xᵀ (transposed by XLA in HBM —
+    far cheaper than Mosaic's in-VMEM transposes) plus the vertical half's
+    qkv weight columns, and performs exactly ONE in-kernel transpose (the
+    branch output) instead of four."""
+    half = C // 2
+    h2 = heads // 2
+    nW = W // split
+
+    x = x_ref[...].reshape(G * H * W, C)
+    xn = _layernorm(x, n1s[...], n1b[...])
+    qkv_h = _dot(xn, wqkv_h[...], bqkv_h[...] if qkv_bias else None)
+
+    xt = xt_ref[...].reshape(G * W * H, C)
+    xtn = _layernorm(xt, n1s[...], n1b[...])
+    qkv_v = _dot(xtn, wqkv_v[...], bqkv_v[...] if qkv_bias else None)
+
+    # Vertical branch: (H, split) windows of the image are (split, H) row
+    # bands of the transposed image — pure sublane reshapes, no transpose.
+    qt = qkv_v[:, :half].reshape(G * nW, split * H, half)
+    kt = qkv_v[:, half : 2 * half].reshape(G * nW, split * H, half)
+    vt = qkv_v[:, 2 * half :].reshape(G * nW, split * H, half)
+    a0t = _attn_windows(qt, kt, vt, h2, scale)
+    lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0[...],
+                          lb0[...], swap=True)
+    a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
+    a0t = a0t.astype(x.dtype).reshape(G, W, H, half)
+    a0 = a0t.transpose(0, 2, 1, 3)  # the single in-kernel transpose
+
+    # Horizontal branch: (split, W) windows are row bands of the image.
+    q = qkv_h[:, :half].reshape(G, H, W, half)
+    k = qkv_h[:, half : 2 * half].reshape(G, H, W, half)
+    v = qkv_h[:, 2 * half :].reshape(G, H, W, half)
+    a1 = _branch_horizontal(q, k, v, lk1[...], lb1[...],
+                            H=H, W=W, sp=split, heads=h2, scale=scale)
+
+    att = jnp.concatenate([a0, a1], -1).reshape(G * H * W, C)
+    att = _dot(att, projk[...], projb[...])
+    if droppath:
+        # timm DropPath: per-sample binary keep mask pre-scaled by 1/(1-p)
+        att = (att.reshape(G, H * W, C) * dp0[...].astype(att.dtype)
+               ).reshape(G * H * W, C)
+    x = x + att
+
+    y = _layernorm(x, n2s[...], n2b[...])
+    y = _dot(y, fc1k[...], fc1b[...])
+    yf = y.astype(jnp.float32)
+    y = (yf * 0.5 * (1.0 + _erf(yf * (2.0**-0.5)))).astype(y.dtype)
+    y = _dot(y, fc2k[...], fc2b[...])
+    if droppath:
+        y = (y.reshape(G, H * W, C) * dp1[...].astype(y.dtype)
+             ).reshape(G * H * W, C)
+    x = x + y
+
+    o_ref[...] = x.reshape(G, H, W, C)
+
+
 def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
-                  projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b, o_ref, *,
-                  H, W, C, heads, split, last_stage, scale, qkv_bias, G):
+                  projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
+                  dp0, dp1, o_ref, *,
+                  H, W, C, heads, split, last_stage, scale, qkv_bias, G,
+                  droppath):
     # G images per program: the LN/qkv/proj/MLP matmuls run jointly on
     # (G·H·W, C) rows (better MXU M-dim); attention loops per image.
     x = x_ref[...].reshape(G * H * W, C)
@@ -202,6 +352,10 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
     att = att.reshape(G * H * W, C)
 
     att = _dot(att, projk[...], projb[...])
+    if droppath:
+        # timm DropPath: per-sample binary keep mask pre-scaled by 1/(1-p)
+        att = (att.reshape(G, H * W, C) * dp0[...].astype(att.dtype)
+               ).reshape(G * H * W, C)
     x = x + att
 
     y = _layernorm(x, n2s[...], n2b[...])
@@ -210,6 +364,9 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
     yf = y.astype(jnp.float32)
     y = (yf * 0.5 * (1.0 + _erf(yf * (2.0**-0.5)))).astype(y.dtype)
     y = _dot(y, fc2k[...], fc2b[...])
+    if droppath:
+        y = (y.reshape(G, H * W, C) * dp1[...].astype(y.dtype)
+             ).reshape(G * H * W, C)
     x = x + y
 
     o_ref[...] = x.reshape(G, H, W, C)
@@ -230,11 +387,19 @@ def _default_g(B: int, H: int, W: int, C: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "C", "heads", "split", "last_stage", "scale",
-                     "qkv_bias", "g_images"),
+                     "qkv_bias", "g_images", "use_xt"),
 )
-def _fused_block_fwd(x, params, *, H, W, C, heads, split, last_stage, scale,
-                     qkv_bias, g_images=None):
+def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
+                     scale, qkv_bias, g_images=None, use_xt=True):
     B = x.shape[0]
+    droppath = dps is not None
+    if dps is None:
+        dps = (jnp.ones((B, 1), jnp.float32), jnp.ones((B, 1), jnp.float32))
+    # Mosaic block shapes must tile (8, 128) or match the array dims on the
+    # last two axes, and in-kernel broadcasts may expand sublanes OR lanes,
+    # not both — so the (B, 1) per-sample multipliers ride in lane-expanded
+    # to (B, 1, C); the kernel multiply then broadcasts over sublanes only.
+    dp0, dp1 = (jnp.broadcast_to(d.reshape(B, 1, 1), (B, 1, C)) for d in dps)
     (n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1, projk, projb,
      n2s, n2b, fc1k, fc1b, fc2k, fc2b) = params
 
@@ -246,35 +411,72 @@ def _fused_block_fwd(x, params, *, H, W, C, heads, split, last_stage, scale,
                                       memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((G, H, W, C), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    param_specs = [full(p.shape) for p in params]
-
-    kern = functools.partial(
-        _block_kernel, H=H, W=W, C=C, heads=heads, split=split,
-        last_stage=last_stage, scale=scale, qkv_bias=qkv_bias, G=G,
-    )
-    return pl.pallas_call(
-        kern,
+    dp_spec = pl.BlockSpec((G, 1, C), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    common = dict(
         grid=(B // G,),
-        in_specs=[x_spec] + param_specs,
         out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         # stage-1 f32 working set slightly exceeds the default 16 MB scoped
         # cap; v5e VMEM accommodates this comfortably
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
-    )(x, *params)
+    )
+
+    if use_xt and not last_stage:
+        half = C // 2
+        xt = x.transpose(0, 2, 1, 3)  # XLA HBM transpose, fuses upstream
+        wqkv_v = jnp.concatenate(
+            [qkvk[:, :half], qkvk[:, C : C + half], qkvk[:, 2 * C : 2 * C + half]], 1)
+        bqkv_v = jnp.concatenate(
+            [qkvb[:half], qkvb[C : C + half], qkvb[2 * C : 2 * C + half]])
+        wqkv_h = jnp.concatenate(
+            [qkvk[:, half : C], qkvk[:, C + half : 2 * C], qkvk[:, 2 * C + half :]], 1)
+        bqkv_h = jnp.concatenate(
+            [qkvb[half : C], qkvb[C + half : 2 * C], qkvb[2 * C + half :]])
+        xt_params = (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0,
+                     lk1, lb1, projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b)
+        xt_spec = pl.BlockSpec((G, W, H, C), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _block_kernel_xt, H=H, W=W, C=C, heads=heads, split=split,
+            scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath,
+        )
+        return pl.pallas_call(
+            kern,
+            in_specs=[x_spec, xt_spec] + [full(p.shape) for p in xt_params]
+            + [dp_spec, dp_spec],
+            **common,
+        )(x, xt, *xt_params, dp0, dp1)
+
+    kern = functools.partial(
+        _block_kernel, H=H, W=W, C=C, heads=heads, split=split,
+        last_stage=last_stage, scale=scale, qkv_bias=qkv_bias, G=G,
+        droppath=droppath,
+    )
+    return pl.pallas_call(
+        kern,
+        in_specs=[x_spec] + [full(p.shape) for p in params]
+        + [dp_spec, dp_spec],
+        **common,
+    )(x, *params, dp0, dp1)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
-def fused_cswin_block(x, params, H, W, C, heads, split, last_stage, scale, qkv_bias):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10))
+def fused_cswin_block(x, params, dps, H, W, C, heads, split, last_stage, scale,
+                      qkv_bias):
     """Fused block forward. ``params`` is the 16-tuple
     (n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
-    fc1k, fc1b, fc2k, fc2b); LePE kernels are (3, 3, C_branch)."""
-    return _fused_block_fwd(x, params, H=H, W=W, C=C, heads=heads, split=split,
-                            last_stage=last_stage, scale=scale, qkv_bias=qkv_bias)
+    fc1k, fc1b, fc2k, fc2b); LePE kernels are (3, 3, C_branch). ``dps`` is
+    None (deterministic) or a pair of (B, 1) per-sample drop-path
+    multipliers (mask/(1-p)) for the attention and MLP residuals."""
+    return _fused_block_fwd(x, params, dps, H=H, W=W, C=C, heads=heads,
+                            split=split, last_stage=last_stage, scale=scale,
+                            qkv_bias=qkv_bias)
 
 
-def composed_block(x, params, H, W, C, heads, split, last_stage, scale, qkv_bias):
+def composed_block(x, params, H, W, C, heads, split, last_stage, scale,
+                   qkv_bias, dps=None):
     """XLA composition of the same function (VJP + validation oracle)."""
     from ..attention import cswin_attention_xla
 
@@ -312,7 +514,10 @@ def composed_block(x, params, H, W, C, heads, split, last_stage, scale, qkv_bias
 
     att = (jnp.dot(att.reshape(B, H * W, C), projk.astype(x.dtype),
                    preferred_element_type=jnp.float32) + projb).astype(x.dtype)
-    x1 = x + att.reshape(B, H, W, C)
+    att = att.reshape(B, H, W, C)
+    if dps is not None:
+        att = att * dps[0][:, :, None, None].astype(att.dtype)
+    x1 = x + att
 
     y = ln(x1, n2s, n2b)
     y = (jnp.dot(y.reshape(B, H * W, C), fc1k.astype(x.dtype),
@@ -320,17 +525,22 @@ def composed_block(x, params, H, W, C, heads, split, last_stage, scale, qkv_bias
     y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(y.dtype)
     y = (jnp.dot(y, fc2k.astype(x.dtype),
                  preferred_element_type=jnp.float32) + fc2b).astype(y.dtype)
-    return x1 + y.reshape(B, H, W, C)
+    y = y.reshape(B, H, W, C)
+    if dps is not None:
+        y = y * dps[1][:, :, None, None].astype(y.dtype)
+    return x1 + y
 
 
-def _fwd(x, params, *static):
-    return fused_cswin_block(x, params, *static), (x, params)
+def _fwd(x, params, dps, *static):
+    return fused_cswin_block(x, params, dps, *static), (x, params, dps)
 
 
 def _bwd(*args):
     static, residuals, g = args[:-2], args[-2], args[-1]
-    x, params = residuals
-    _, vjp = jax.vjp(lambda a, p: composed_block(a, p, *static), x, params)
+    x, params, dps = residuals
+    _, vjp = jax.vjp(
+        lambda a, p, d: composed_block(a, p, *static, dps=d), x, params, dps
+    )
     return vjp(g)
 
 

@@ -71,20 +71,29 @@ def main():
         x = jnp.asarray(
             np.random.default_rng(1).normal(size=(B, H, W, C)).astype(np.float32)
         ).astype(jnp.bfloat16)
-        for g in (1, 2, 4, 8, 16):
+        gs = tuple(int(v) for v in os.environ.get("SWEEP_GS", "1 2 4 8 16").split())
+        for g in gs:
             if B % g:
                 continue
-            try:
-                def apply(p, xx, g=g):
-                    return _fused_block_fwd(
-                        xx, p, H=H, W=W, C=C, heads=geo["heads"],
-                        split=geo["split"], last_stage=geo["last"],
-                        scale=scale, qkv_bias=True, g_images=g)
-                t = timeit(apply, params, x)
-                print(f"stage {stage} G={g:2d}: {t*1000:7.3f} ms", flush=True)
-            except Exception as e:
-                print(f"stage {stage} G={g:2d}: FAILED {type(e).__name__}: {str(e)[:120]}",
-                      flush=True)
+            # VMEM guard: the kernel's f32 working set is ~8x the bf16 x
+            # block; skip configs that would spill (they compile for many
+            # minutes and can wedge the remote compile helper).
+            if g * H * W * C * 2 * 10 > 8 * 2**20:
+                print(f"stage {stage} G={g:2d}: skipped (VMEM estimate)", flush=True)
+                continue
+            for xt in (False, True) if not geo["last"] else (False,):
+                try:
+                    def apply(p, xx, g=g, xt=xt):
+                        return _fused_block_fwd(
+                            xx, p, H=H, W=W, C=C, heads=geo["heads"],
+                            split=geo["split"], last_stage=geo["last"],
+                            scale=scale, qkv_bias=True, g_images=g, use_xt=xt)
+                    t = timeit(apply, params, x)
+                    print(f"stage {stage} G={g:2d} xt={int(xt)}: {t*1000:7.3f} ms",
+                          flush=True)
+                except Exception as e:
+                    print(f"stage {stage} G={g:2d} xt={int(xt)}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

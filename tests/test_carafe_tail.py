@@ -1,0 +1,65 @@
+"""Pallas CARAFE4+classifier tail vs the XLA-fused oracle (exact math)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cswin_unet_tpu.ops.carafe import carafe_with_classifier
+from cswin_unet_tpu.ops.pallas.carafe_tail import carafe_tail
+
+
+def _params(rng, C=16, NC=5, UP=4):
+    k = 3
+    mk = lambda *s, sc=0.2: jnp.asarray(rng.standard_normal(s).astype(np.float32) * sc)
+    return dict(
+        down_kernel=mk(1, 1, C, C // 4), down_bias=mk(C // 4),
+        encoder_kernel=mk(k, k, C // 4, UP * UP * k * k),
+        encoder_bias=mk(UP * UP * k * k),
+        out_kernel=mk(1, 1, C, C), out_bias=mk(C),
+        cls_kernel=mk(1, 1, C, NC),
+    )
+
+
+def test_tail_matches_oracle_f32():
+    rng = np.random.default_rng(0)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    got = carafe_tail(x, p["down_kernel"], p["down_bias"], p["encoder_kernel"],
+                      p["encoder_bias"], p["out_kernel"], p["out_bias"],
+                      p["cls_kernel"], 4)
+    want = carafe_with_classifier(x, **p, kernel_size=3, up_factor=4)
+    assert got.shape == (2, 32, 32, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_tail_matches_oracle_bf16():
+    rng = np.random.default_rng(1)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32)).astype(
+        jnp.bfloat16)
+    got = np.asarray(
+        carafe_tail(x, p["down_kernel"], p["down_bias"], p["encoder_kernel"],
+                    p["encoder_bias"], p["out_kernel"], p["out_bias"],
+                    p["cls_kernel"], 4), np.float32)
+    want = np.asarray(
+        carafe_with_classifier(x, **p, kernel_size=3, up_factor=4), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_tail_gradients_match_oracle():
+    rng = np.random.default_rng(2)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
+    args = (x, p["down_kernel"], p["down_bias"], p["encoder_kernel"],
+            p["encoder_bias"], p["out_kernel"], p["out_bias"], p["cls_kernel"])
+
+    g_fused = jax.grad(lambda *a: jnp.sum(carafe_tail(*a, 4) ** 2),
+                       argnums=tuple(range(8)))(*args)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(carafe_with_classifier(*a, kernel_size=3,
+                                                  up_factor=4) ** 2),
+        argnums=tuple(range(8)))(*args)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)

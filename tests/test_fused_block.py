@@ -44,8 +44,9 @@ GEOMETRIES = [
 ]
 
 
+@pytest.mark.parametrize("use_xt", [True, False])
 @pytest.mark.parametrize("H,W,C,heads,split,last,g", GEOMETRIES)
-def test_fused_block_matches_composed(H, W, C, heads, split, last, g):
+def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt):
     rng = np.random.default_rng(42)
     cb = C if last else C // 2
     params = _params(rng, C, cb)
@@ -55,7 +56,7 @@ def test_fused_block_matches_composed(H, W, C, heads, split, last, g):
 
     fused = _fused_block_fwd(
         x, params, H=H, W=W, C=C, heads=heads, split=split, last_stage=last,
-        scale=scale, qkv_bias=True, g_images=g,
+        scale=scale, qkv_bias=True, g_images=g, use_xt=use_xt,
     )
     ref = composed_block(x, params, H, W, C, heads, split, last, scale, True)
     np.testing.assert_allclose(
@@ -81,3 +82,71 @@ def test_fused_block_bf16_close():
         np.asarray(fused, np.float32), np.asarray(ref, np.float32),
         rtol=0.06, atol=0.06,
     )
+
+
+def test_fused_block_droppath_matches_composed():
+    """Training path: fused forward with drop-path masks == composed with the
+    same masks, and gradients flow through the custom_vjp."""
+    from cswin_unet_tpu.ops.pallas.cswin_block import fused_cswin_block
+
+    H, W, C, heads, split = 8, 8, 16, 2, 2
+    rng = np.random.default_rng(3)
+    params = _params(rng, C, C // 2)
+    B = 4
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    dps = (
+        jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32) * 2.0),
+        jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32) * 2.0),
+    )
+
+    fused = fused_cswin_block(x, params, dps, H, W, C, heads, split, False,
+                              scale, True)
+    ref = composed_block(x, params, H, W, C, heads, split, False, scale, True,
+                         dps=dps)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_fused(x, p):
+        return jnp.sum(
+            fused_cswin_block(x, p, dps, H, W, C, heads, split, False, scale,
+                              True) ** 2)
+
+    def loss_ref(x, p):
+        return jnp.sum(
+            composed_block(x, p, H, W, C, heads, split, False, scale, True,
+                           dps=dps) ** 2)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    for a, b in zip(gp_f, gp_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_model_training_uses_fused_kernel():
+    """CSWinBlock with attn_impl='fused' trains through the fused kernel
+    (drop-path masks live) and produces finite grads."""
+    from cswin_unet_tpu.models.cswin_unet import CSWinBlock
+
+    m = CSWinBlock(dim=16, reso=(8, 8), num_heads=2, split_size=2,
+                   drop_path=0.3, deterministic=False, attn_impl="fused")
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((4, 8, 8, 16)),
+                    jnp.float32)
+    params = m.init({"params": jax.random.PRNGKey(0),
+                     "dropout": jax.random.PRNGKey(1)}, x)
+
+    def loss(p):
+        y = m.apply(p, x, rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(y ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+    # stochasticity: two rngs give different outputs
+    y1 = m.apply(params, x, rngs={"dropout": jax.random.PRNGKey(3)})
+    y2 = m.apply(params, x, rngs={"dropout": jax.random.PRNGKey(4)})
+    assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-6

@@ -82,6 +82,35 @@ def test_wrapper_repeats_single_channel():
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y3))
 
 
+def test_fused_full_model_matches_xla(small_model_and_params):
+    """attn_impl='fused' (block megakernel + pallas CARAFE tail) must equal
+    the XLA composition at f32 on the whole net, eval path."""
+    m, params = small_model_and_params
+    mf = CSWinUNet(**SMALL, attn_impl="fused")
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    y_xla = np.asarray(m.apply(params, x))
+    y_fused = np.asarray(mf.apply(params, x))
+    np.testing.assert_allclose(y_fused, y_xla, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_full_model_train_grads(small_model_and_params):
+    """Training through the fused path (drop-path live in-kernel, tail vjp
+    replaying the XLA composition) produces finite nonzero grads."""
+    _, params = small_model_and_params
+    mf = CSWinUNet(**SMALL, attn_impl="fused")
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 3))
+
+    def loss_fn(p):
+        y = mf.apply(p, x, deterministic=False,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+        return jnp.sum(y ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    assert any(np.abs(np.asarray(g)).max() > 0 for g in leaves)
+
+
 def test_bf16_compute_close_to_f32(small_model_and_params):
     m, params = small_model_and_params
     mb = CSWinUNet(**SMALL, dtype=jnp.bfloat16)
