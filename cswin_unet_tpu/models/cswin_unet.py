@@ -308,6 +308,7 @@ class CarafeUpsample(nn.Module):
     kernel_size: int = 3
     up_factor: int = 2
     dtype: Dtype = jnp.float32
+    impl: str = "fast"
 
     @nn.compact
     def __call__(self, x):
@@ -320,6 +321,18 @@ class CarafeUpsample(nn.Module):
         enc_bias = self.param("encoder_bias", torch_conv_bias(c_mid * k * k), (c_enc,))
         out_kernel = self.param("out_kernel", torch_conv_kernel, (1, 1, self.dim, self.dim_out))
         out_bias = self.param("out_bias", torch_conv_bias(self.dim), (self.dim_out,))
+        if self.impl == "fused":
+            # Whole-CARAFE Pallas kernel (kernel prediction + softmax +
+            # reassembly in VMEM); XLA 'fast' composition backward.
+            from ..ops.pallas.carafe_tail import carafe_up
+
+            return carafe_up(
+                x.astype(self.dtype),
+                down_kernel, down_bias,
+                enc_kernel, enc_bias,
+                out_kernel, out_bias,
+                up,
+            )
         return carafe(
             x,
             down_kernel, down_bias,
@@ -424,8 +437,15 @@ class CSWinUNet(nn.Module):
                     last_stage=is_last,
                 )(x)
             if s > 0:
+                # Small stages keep XLA: @7 breaks Mosaic's 49-row reshape
+                # and @14 the kernel's per-program overhead loses to XLA
+                # (0.95 vs 0.37 ms at bs128); @28 the kernel wins
+                # (1.95 vs 2.33 ms).
+                fuse_up = self.attn_impl == "fused" and resos[s] >= 28
                 x = CarafeUpsample(
-                    dims[s], dims[s - 1], dtype=self.dtype, name=f"upsample{s + 1}"
+                    dims[s], dims[s - 1], dtype=self.dtype,
+                    impl="fused" if fuse_up else "fast",
+                    name=f"upsample{s + 1}",
                 )(x)
                 # Skip-concat: [skip, upsampled] then linear 2C->C (ref :509-510).
                 x = jnp.concatenate([skips[s - 1], x], axis=-1)

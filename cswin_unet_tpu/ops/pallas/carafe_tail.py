@@ -13,7 +13,7 @@ This kernel keeps the whole tail in VMEM per image:
                 │   global row max (valid: any per-row constant shift)
                 └─ y9 = x @ (W_out·W_cls) (classes before reassembly — exact,
                     taps sum to 1; see ops.carafe.carafe_with_classifier)
-  acc (HW, NC·up²) += repeat(shift(y9), up²) * tile(kern_tap)   [9 taps]
+  acc (HW, NC·up²) += (shift(y9)·T_sel) * (kern_tap·E_sel)   [9 taps, MXU]
   out = acc + b_out·W_cls   →  (B, 56, 56, NC·up²)
 
 and leaves ONLY the depth-to-space pixel shuffle to XLA (a bandwidth-bound
@@ -33,42 +33,45 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _shift2d(x, di, dj):
-    """Zero-fill shift of (H, W, C): out[r, c] = x[r-di, c-dj]."""
-    H, W, C = x.shape
+    """Zero-fill shift of (..., H, W, C) over (H, W):
+    out[..., r, c, :] = x[..., r-di, c-dj, :]. Works for (H, W, C) and
+    G-batched (G, H, W, C) layouts (shift dims counted from the end)."""
+    H, W = x.shape[-3], x.shape[-2]
+    ax_h, ax_w = x.ndim - 3, x.ndim - 2
     if di:
-        pad = jnp.zeros((abs(di), W, C), x.dtype)
-        x = (jnp.concatenate([pad, x[:-di]], 0) if di > 0
-             else jnp.concatenate([x[-di:], pad], 0))
+        pad = jnp.zeros(x.shape[:ax_h] + (abs(di), W) + x.shape[-1:], x.dtype)
+        x = (jnp.concatenate([pad, x[..., :-di, :, :]], ax_h) if di > 0
+             else jnp.concatenate([x[..., -di:, :, :], pad], ax_h))
     if dj:
-        pad = jnp.zeros((H, abs(dj), C), x.dtype)
-        x = (jnp.concatenate([pad, x[:, :-dj]], 1) if dj > 0
-             else jnp.concatenate([x[:, -dj:], pad], 1))
+        pad = jnp.zeros(x.shape[:ax_w] + (abs(dj),) + x.shape[-1:], x.dtype)
+        x = (jnp.concatenate([pad, x[..., :-dj, :]], ax_w) if dj > 0
+             else jnp.concatenate([x[..., -dj:, :], pad], ax_w))
     return x
 
 
 def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
-            expand_sel, o_ref, *, H, W, C, NC, UP2, G):
+            expand_sel, tile_sel, o_ref, *, H, W, C, NC, UP2, G):
     K2 = 9
     HW = H * W
 
     x2 = x_ref[...].reshape(G * HW, C)
 
-    # --- kernel prediction ---
+    # --- kernel prediction (all G images jointly on the MXU) ---
     mid = jnp.dot(x2, wdown[...].astype(x2.dtype),
                   preferred_element_type=jnp.float32)
     mid = (mid + bdown[...].astype(jnp.float32)).astype(x2.dtype)  # (GHW, C/4)
     cm = mid.shape[-1]
-    mid_img = mid.reshape(H, W, cm)  # one image per program
+    mid_img = mid.reshape(G, H, W, cm)
     # shift (di, dj) yields mid[r-di, c-dj], which the cross-correlation
     # pairs with weight row (1-di, 1-dj) — so iterate di,dj DESCENDING to
     # match wenc's row-major (a, b, c') reshape order.
     patches = jnp.concatenate(
         [_shift2d(mid_img, di, dj) for di in (1, 0, -1) for dj in (1, 0, -1)],
         -1,
-    ).reshape(HW, K2 * cm)
+    ).reshape(G * HW, K2 * cm)
     enc = jnp.dot(patches, wenc[...].astype(patches.dtype),
                   preferred_element_type=jnp.float32)
-    enc = enc + benc[...].astype(jnp.float32)              # (HW, k2*up2) f32
+    enc = enc + benc[...].astype(jnp.float32)             # (GHW, k2*up2) f32
 
     # --- softmax over the k² taps for each up-position s (lane k2-major:
     # lane = k*UP2 + s). Global row max is a valid stabilizer (same constant
@@ -78,32 +81,36 @@ def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
     # f32 selector matmuls: tiny (144x16), keeps softmax at f32 precision.
     sums = jnp.dot(e, sum_sel[...], preferred_element_type=jnp.float32)
     denom = jnp.dot(sums, spread_sel[...],
-                    preferred_element_type=jnp.float32)     # (HW, k2*up2)
-    kern = (e / denom).astype(x2.dtype).reshape(H, W, K2 * UP2)
+                    preferred_element_type=jnp.float32)    # (GHW, k2*up2)
+    kern = (e / denom).astype(x2.dtype).reshape(G, H, W, K2 * UP2)
 
     # --- classes before reassembly ---
     y9 = jnp.dot(x2, wy9[...].astype(x2.dtype),
                  preferred_element_type=jnp.float32).astype(x2.dtype)
-    y9 = y9.reshape(H, W, NC)
+    y9 = y9.reshape(G, H, W, NC)
 
     # --- 9-tap reassembly on s-major (up²·NC) lanes: lane = s·NC + n.
-    # pltpu.repeat TILES its operand, so repeat(y9, UP2) is exactly the
-    # s-major class vector; the tap weights are expanded to the same layout
-    # by a constant 0/1 selector matmul (E[s, s·NC+n] = 1).
-    acc = jnp.zeros((H, W, NC * UP2), jnp.float32)
+    # Both operands are expanded to that layout by constant 0/1 selector
+    # matmuls (T[n, s·NC+n] = 1 tiles the class vector; E[s, s·NC+n] = 1
+    # spreads the tap weights) — an MXU dot per tap beats pltpu.repeat's
+    # VPU lane-relayout by ~1 ms/128 images (measured).
+    acc = jnp.zeros((G, H, W, NC * UP2), jnp.float32)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
             # shifted[r,c] = y9[r-di, c-dj] pairs with reference tap
             # (1-di, 1-dj) (extract_patches_3x3 order, ops/carafe.py:42-46).
             tap = (1 - di) * 3 + (1 - dj)
-            src = pltpu.repeat(_shift2d(y9, di, dj), UP2, 2)  # (H,W,UP2*NC)
-            wk = kern[:, :, tap * UP2 : (tap + 1) * UP2]      # (H,W,UP2)
-            wk = jnp.dot(wk.reshape(HW, UP2),
+            ys = _shift2d(y9, di, dj)
+            src = jnp.dot(ys.reshape(G * HW, NC),
+                          tile_sel[...].astype(ys.dtype),
+                          preferred_element_type=jnp.float32)  # (GHW, UP2*NC)
+            wk = kern[:, :, :, tap * UP2 : (tap + 1) * UP2]    # (G,H,W,UP2)
+            wk = jnp.dot(wk.reshape(G * HW, UP2),
                          expand_sel[...].astype(wk.dtype),
-                         preferred_element_type=jnp.float32).reshape(H, W, NC * UP2)
-            acc = acc + src.astype(jnp.float32) * wk
+                         preferred_element_type=jnp.float32)
+            acc = acc + (src * wk).reshape(G, H, W, NC * UP2)
 
-    o_ref[...] = acc.astype(o_ref.dtype).reshape(1, H, W, NC * UP2)
+    o_ref[...] = acc.astype(o_ref.dtype)
 
 
 def _sum_selector(k2: int, up2: int) -> np.ndarray:
@@ -116,42 +123,63 @@ def _sum_selector(k2: int, up2: int) -> np.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("up_factor",))
-def carafe_tail_pallas(x, down_kernel, down_bias, encoder_kernel, encoder_bias,
-                       out_kernel, out_bias, cls_kernel, *, up_factor=4):
-    """(B, H, W, C) -> (B, up·H, up·W, NC) logits; exact
-    carafe_with_classifier math (ops/carafe.py:167-229), fused in VMEM."""
+def carafe_fused_pallas(x, down_kernel, down_bias, encoder_kernel,
+                        encoder_bias, out_kernel, out_bias, cls_kernel=None,
+                        *, up_factor=2):
+    """Whole-CARAFE fused kernel: (B, H, W, C) -> (B, up·H, up·W, NC).
+
+    With ``cls_kernel`` the 1x1 classifier is folded into the hoisted
+    out-conv (the tail configuration, NC = num_classes); without it this is
+    the plain CARAFE upsampler (NC = C_out) used between decoder stages
+    (reference CARAFE :222-269). Exact carafe/carafe_with_classifier math
+    (ops/carafe.py:50-164, :167-229), f32 accumulation."""
     B, H, W, C = x.shape
     K2 = 9
     UP = up_factor
     UP2 = UP * UP
     cm = down_kernel.shape[-1]
-    NC = cls_kernel.shape[-1]
 
     wdown = down_kernel.reshape(C, cm)
     wenc = encoder_kernel.reshape(K2 * cm, K2 * UP2)
-    w_cls = cls_kernel[0, 0]
-    wy9 = out_kernel[0, 0] @ w_cls                          # (C, NC)
-    bias_comb = out_bias @ w_cls                            # (NC,)
+    if cls_kernel is not None:
+        w_cls = cls_kernel[0, 0]
+        wy9 = out_kernel[0, 0] @ w_cls                      # (C, NC)
+        bias_comb = out_bias @ w_cls                        # (NC,)
+    else:
+        wy9 = out_kernel[0, 0]
+        bias_comb = out_bias
+    NC = wy9.shape[-1]
     sum_sel = jnp.asarray(_sum_selector(K2, UP2))
     spread_sel = sum_sel.T                                   # (up2, k2*up2)
     expand = np.zeros((UP2, UP2 * NC), np.float32)           # E[s, s*NC+n]=1
     for s in range(UP2):
         expand[s, s * NC : (s + 1) * NC] = 1.0
     expand_sel = jnp.asarray(expand)
+    tile = np.zeros((NC, UP2 * NC), np.float32)              # T[n, s*NC+n]=1
+    for s in range(UP2):
+        for n in range(NC):
+            tile[n, s * NC + n] = 1.0
+    tile_sel = jnp.asarray(tile)
+
+    # One image per program: G > 1 requires 4-D shift concats, which hit a
+    # Mosaic compile-time blowup (kernel is written G-general for when that
+    # lifts). Per-program overhead therefore argues for the XLA path below
+    # ~28x28 — see CarafeUpsample's impl gating.
+    G = 1
 
     full = lambda a: pl.BlockSpec(a.shape, lambda b: tuple(0 for _ in a.shape),
                                   memory_space=pltpu.VMEM)
-    x_spec = pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0),
+    x_spec = pl.BlockSpec((G, H, W, C), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((1, H, W, NC * UP2), lambda b: (b, 0, 0, 0),
+    o_spec = pl.BlockSpec((G, H, W, NC * UP2), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     consts = (wdown, down_bias, wenc, encoder_bias, wy9, sum_sel, spread_sel,
-              expand_sel)
+              expand_sel, tile_sel)
 
-    kern = functools.partial(_kernel, H=H, W=W, C=C, NC=NC, UP2=UP2, G=1)
+    kern = functools.partial(_kernel, H=H, W=W, C=C, NC=NC, UP2=UP2, G=G)
     t = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[x_spec] + [full(c) for c in consts],
         out_specs=o_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, W, NC * UP2), x.dtype),
@@ -166,14 +194,60 @@ def carafe_tail_pallas(x, down_kernel, down_bias, encoder_kernel, encoder_bias,
     return t.reshape(B, H * UP, W * UP, NC)
 
 
+def carafe_tail_pallas(x, down_kernel, down_bias, encoder_kernel,
+                       encoder_bias, out_kernel, out_bias, cls_kernel, *,
+                       up_factor=4):
+    """(B, H, W, C) -> (B, up·H, up·W, NC) logits; exact
+    carafe_with_classifier math (ops/carafe.py:167-229), fused in VMEM."""
+    return carafe_fused_pallas(
+        x, down_kernel, down_bias, encoder_kernel, encoder_bias,
+        out_kernel, out_bias, cls_kernel, up_factor=up_factor)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def carafe_tail(x, down_kernel, down_bias, encoder_kernel, encoder_bias,
                 out_kernel, out_bias, cls_kernel, up_factor=4):
     """Differentiable fused tail: Pallas forward, XLA-composition backward
     (identical math — ops/carafe.py:167-229)."""
-    return carafe_tail_pallas(
+    return carafe_fused_pallas(
         x, down_kernel, down_bias, encoder_kernel, encoder_bias,
         out_kernel, out_bias, cls_kernel, up_factor=up_factor)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def carafe_up(x, down_kernel, down_bias, encoder_kernel, encoder_bias,
+              out_kernel, out_bias, up_factor=2):
+    """Differentiable fused CARAFE upsampler (no classifier): Pallas
+    forward, XLA 'fast' composition backward (identical math —
+    ops/carafe.py:50-113)."""
+    return carafe_fused_pallas(
+        x, down_kernel, down_bias, encoder_kernel, encoder_bias,
+        out_kernel, out_bias, None, up_factor=up_factor)
+
+
+def _up_fwd(x, dk, db, ek, eb, ok, ob, up_factor):
+    out = carafe_up(x, dk, db, ek, eb, ok, ob, up_factor)
+    return out, (x, dk, db, ek, eb, ok, ob)
+
+
+def _up_bwd(up_factor, residuals, g):
+    from ..carafe import carafe
+
+    def ref(x, dk, db, ek, eb, ok, ob):
+        return carafe(x, dk, db, ek, eb, ok, ob,
+                      kernel_size=3, up_factor=up_factor, impl="fast")
+
+    # Same CPU DotThunk workaround as _tail_bwd.
+    if jax.default_backend() == "cpu":
+        dtypes = [r.dtype for r in residuals]
+        residuals = tuple(r.astype(jnp.float32) for r in residuals)
+        grads = jax.vjp(ref, *residuals)[1](g.astype(jnp.float32))
+        return tuple(gr.astype(dt) for gr, dt in zip(grads, dtypes))
+    _, vjp = jax.vjp(ref, *residuals)
+    return vjp(g)
+
+
+carafe_up.defvjp(_up_fwd, _up_bwd)
 
 
 def _tail_fwd(x, dk, db, ek, eb, ok, ob, ck, up_factor):

@@ -103,8 +103,11 @@ PARTS = [
     ("output conv1x1 @224", 1, conv(64, 9, 224, 1, 1, 0), (B, 224, 224, 64)),
 ]
 
+only = os.environ.get("PARTS_ONLY", "")
 total = 0.0
 for name, count, builder, shape in PARTS:
+    if only and only not in name:
+        continue
     t = timeit(builder, shape)
     total += t * count
     print(f"{name:26s} x{count:2d}: {t*1000:7.2f} ms each -> {t*count*1000:7.2f} ms")

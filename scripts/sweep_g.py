@@ -81,7 +81,17 @@ def main():
             if g * H * W * C * 2 * 10 > 8 * 2**20:
                 print(f"stage {stage} G={g:2d}: skipped (VMEM estimate)", flush=True)
                 continue
-            for xt in (False, True) if not geo["last"] else (False,):
+            # xt=False (in-kernel transpose fallback) hits a Mosaic compile-time
+            # blowup at the 28x28 geometry; the model only uses xt=True for
+            # dual-branch stages, so sweep it alone unless SWEEP_XT=all.
+            if geo["last"]:
+                xts = (False,)
+            elif os.environ.get("SWEEP_XT") == "all":
+                xts = (False, True)
+            else:
+                xts = (True,)
+            for xt in xts:
+                print(f"stage {stage} G={g:2d} xt={int(xt)}: compiling...", flush=True)
                 try:
                     def apply(p, xx, g=g, xt=xt):
                         return _fused_block_fwd(

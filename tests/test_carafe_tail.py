@@ -63,3 +63,33 @@ def test_tail_gradients_match_oracle():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+def test_carafe_up_matches_fast_f32():
+    """The classifier-free fused upsampler == the XLA 'fast' composition."""
+    from cswin_unet_tpu.ops.carafe import carafe
+    from cswin_unet_tpu.ops.pallas.carafe_tail import carafe_up
+
+    rng = np.random.default_rng(3)
+    C, C_out = 16, 8
+    mk = lambda *s, sc=0.2: jnp.asarray(rng.standard_normal(s).astype(np.float32) * sc)
+    dk, db = mk(1, 1, C, C // 4), mk(C // 4)
+    ek, eb = mk(3, 3, C // 4, 4 * 9), mk(4 * 9)
+    ok, ob = mk(1, 1, C, C_out), mk(C_out)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, C)).astype(np.float32))
+
+    got = carafe_up(x, dk, db, ek, eb, ok, ob, 2)
+    want = carafe(x, dk, db, ek, eb, ok, ob, kernel_size=3, up_factor=2,
+                  impl="fast")
+    assert got.shape == (2, 16, 16, C_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    g_fused = jax.grad(lambda *a: jnp.sum(carafe_up(*a, 2) ** 2),
+                       argnums=tuple(range(7)))(x, dk, db, ek, eb, ok, ob)
+    g_ref = jax.grad(
+        lambda *a: jnp.sum(carafe(*a, kernel_size=3, up_factor=2,
+                                  impl="fast") ** 2),
+        argnums=tuple(range(7)))(x, dk, db, ek, eb, ok, ob)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
