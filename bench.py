@@ -28,6 +28,7 @@ works for kernel A/B comparisons.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -162,22 +163,23 @@ def bench_train(batch=24, chain_a=6, chain_b=16, attn_impl="fused"):
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, aux["loss"]
 
-    def chained(params, opt_state, k):
-        def body(carry, i):
-            p, s = carry
-            p, s, loss = one_step(p, s, i)
-            return (p, s), loss
+    # One jitted step driven from a Python loop: dispatch is async (only the
+    # final block syncs), so per-call tunnel latency amortizes over the
+    # ~80 ms step; differencing two loop lengths cancels the fixed sync.
+    # (A lax.scan chain doubles the XLA program — with the fused backward
+    # kernels that OOMs the remote TPU compile helper.)
+    step_fn = jax.jit(one_step)
 
-        (p, s), losses = lax.scan(body, (params, opt_state), jnp.arange(k))
-        return losses[-1]
+    def run(k):
+        p, s = params, opt_state
+        for i in range(k):
+            p, s, loss = step_fn(p, s, i)
+        jax.block_until_ready(loss)
 
-    fa = jax.jit(lambda p, s: chained(p, s, chain_a))
-    fb = jax.jit(lambda p, s: chained(p, s, chain_b))
-    float(fa(params, opt_state))
-    float(fb(params, opt_state))
+    run(2)  # compile + warmup
 
-    ta = _best_of(lambda: float(fa(params, opt_state)))
-    tb = _best_of(lambda: float(fb(params, opt_state)))
+    ta = _best_of(lambda: run(chain_a))
+    tb = _best_of(lambda: run(chain_b))
     per_step = (tb - ta) / (chain_b - chain_a)
     samples_per_sec = batch / per_step
 
@@ -195,7 +197,21 @@ def bench_train(batch=24, chain_a=6, chain_b=16, attn_impl="fused"):
     return samples_per_sec
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated bench runs (and the two
+    chain lengths within one run) skip recompilation — the remote TPU
+    compile helper has been seen OOM-ing on cold full-train-step compiles."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
 def main():
+    _enable_compile_cache()
     args = sys.argv[1:]
     if args and args[0].isdigit():  # legacy: batch [ka kb [impl]]
         batch = int(args[0])
@@ -206,17 +222,28 @@ def main():
         return
 
     mode = args[0] if args else "all"
+
+    def guarded(name, fn):
+        # The headline metric prints first; a cold-compile timeout or a
+        # flaky remote-compile helper in a later mode must not kill it.
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": name, "error": str(e)[:200]}),
+                  file=sys.stderr, flush=True)
+
     if mode in ("all", "infer"):
         bench_infer()
     if mode in ("all", "train"):
-        bench_train()
+        guarded("train_samples_per_sec_per_chip", bench_train)
     if mode in ("all", "infer384"):
         # bs 32 keeps the 4.7x-larger activations in comfortable HBM; the
         # 384 geometry has 9.4x the FLOPs of tiny/224.
-        bench_infer(batch=32, chain_a=11, chain_b=21,
-                    metric="slices384_per_sec_per_chip",
-                    baseline=A100_BS1_BASELINE / 4.0,  # ~9.4x FLOPs, bs1 A100 est.
-                    model_fn=_base384, img=384)
+        guarded("slices384_per_sec_per_chip", lambda: bench_infer(
+            batch=32, chain_a=11, chain_b=21,
+            metric="slices384_per_sec_per_chip",
+            baseline=A100_BS1_BASELINE / 4.0,  # ~9.4x FLOPs, bs1 A100 est.
+            model_fn=_base384, img=384))
 
 
 if __name__ == "__main__":

@@ -110,18 +110,6 @@ def carafe(
         out = out.transpose(0, 1, 4, 2, 5, 3)
         return out.reshape(B, H * up_factor, W * up_factor, C_out)
 
-    if impl == "pallas":
-        # Fused VMEM reassembly+shuffle kernel; conv hoisting as in 'fast'.
-        from .pallas.carafe_kernel import carafe_reassemble
-
-        y = lax.conv_general_dilated(
-            x, out_kernel.astype(x.dtype), (1, 1), ((0, 0), (0, 0)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
-        kern_flat = kern.reshape(B, H, W, k2 * up2)
-        out = carafe_reassemble(y, kern_flat, up_factor, kernel_size)
-        return out + out_bias.astype(out.dtype)
-
     if impl == "hires":
         # High-res tap-sum: out[q] = Σ_tap kern_hi[q,tap]·y[low(q)+tap].
         # The accumulator IS the final output layout (no pixel-shuffle

@@ -169,6 +169,130 @@ def _lepe_windows(vw, lk, lb, swap=False):
     return acc + lb.astype(jnp.float32)
 
 
+def _ln_bwd(x, dy, scale):
+    """LayerNorm backward, recomputing the f32 statistics from ``x``.
+    x: (N, C) activation dtype; dy: (N, C) f32. Returns (dx f32, dscale f32,
+    dbias f32)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + 1e-5)
+    xhat = (xf - mu) * rstd
+    dxhat = dy * scale.astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dscale = jnp.sum(dy * xhat, axis=0)
+    dbias = jnp.sum(dy, axis=0)
+    return dx, dscale, dbias
+
+
+def _wgrad(a, b):
+    """dW = aᵀ @ b with f32 accumulation: a (N, M), b (N, K) -> (M, K)."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _gelu_bwd(hf, dg):
+    """d/dh of the exact-erf GELU h·Φ(h): Φ(h) + h·φ(h). hf, dg f32."""
+    phi = 0.5 * (1.0 + _erf(hf * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * hf * hf) * np.float32(1.0 / np.sqrt(2.0 * np.pi))
+    return dg * (phi + hf * pdf)
+
+
+def _attn_windows_bwd(q, k, v, da, heads, scale, merge=None):
+    """Backward of ``_attn_windows``: recompute P per head, then the
+    standard softmax-attention vjp. q,k,v activation dtype (n, L, C);
+    da f32 (n, L, C). Returns (dq, dk, dv) f32."""
+    n, L, C = q.shape
+    d = C // heads
+    m = _window_merge(n, L) if merge is None else merge
+    mask = None
+    if m > 1:
+        q = q.reshape(n // m, m * L, C)
+        k = k.reshape(n // m, m * L, C)
+        v = v.reshape(n // m, m * L, C)
+        da = da.reshape(n // m, m * L, C)
+        row = jax.lax.broadcasted_iota(jnp.int32, (m * L, m * L), 0) // L
+        col = jax.lax.broadcasted_iota(jnp.int32, (m * L, m * L), 1) // L
+        mask = jnp.where(row == col, 0.0, -1e9).astype(jnp.float32)[None]
+    dqs, dks, dvs = [], [], []
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q[:, :, sl] * scale
+        kh = k[:, :, sl]
+        s = jax.lax.dot_general(qh, kh, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if mask is not None:
+            s = s + mask
+        p = jax.nn.softmax(s, axis=-1)
+        pb = p.astype(q.dtype)
+        dah = da[:, :, sl].astype(q.dtype)
+        # dP = dA Vᵀ ; dV = Pᵀ dA
+        dp = jax.lax.dot_general(dah, v[:, :, sl],
+                                 (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dvs.append(jax.lax.dot_general(pb, dah, (((1,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32))
+        # dS = P ∘ (dP − rowsum(dP ∘ P)); masked cols have P == 0 → dS == 0
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(q.dtype)
+        dqs.append(jax.lax.dot_general(dsb, kh, (((2,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32)
+                   * scale)
+        dks.append(jax.lax.dot_general(dsb, qh, (((1,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32))
+    cat = lambda xs: (xs[0] if heads == 1 else jnp.concatenate(xs, -1))
+    return (cat(dqs).reshape(n, L, C), cat(dks).reshape(n, L, C),
+            cat(dvs).reshape(n, L, C))
+
+
+def _lepe_windows_bwd(vw, da, lk, swap=False):
+    """Backward of ``_lepe_windows``. vw activation dtype (n, sp_h, sp_w, C);
+    da f32 same shape. Returns (dvw f32, dlk (9, C) f32 in row-major
+    (a, b) tap order, dlb (C,) f32).
+
+    Shifts are f32 circular rolls + in-bounds masks (the _lepe_full
+    formulation) — Mosaic's concat lowering is unreliable for the
+    dot-derived f32 cotangents, rolls always lower."""
+    n, sp_h, sp_w, c = vw.shape
+    dlb = jnp.sum(da, axis=(0, 1, 2))
+    dtaps = {}
+    vf = vw.astype(jnp.float32)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (sp_h, sp_w), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (sp_h, sp_w), 1)
+
+    def roll2(t, di, dj):
+        if di:
+            t = pltpu.roll(t, di % sp_h, 1)
+        if dj:
+            t = pltpu.roll(t, dj % sp_w, 2)
+        return t
+
+    dv = jnp.zeros(vw.shape, jnp.float32)
+    for di in (-1, 0, 1):
+        if abs(di) >= sp_h:
+            continue
+        for dj in (-1, 0, 1):
+            if abs(dj) >= sp_w:
+                continue
+            idx = (1 - dj, 1 - di) if swap else (1 - di, 1 - dj)
+            ok = ((r_i - di >= 0) & (r_i - di < sp_h)
+                  & (c_i - dj >= 0) & (c_i - dj < sp_w))
+            okf = ok.astype(jnp.float32)[None, :, :, None]
+            dam = da * okf
+            dtaps[idx] = jnp.sum(roll2(vf, di, dj) * dam, axis=(0, 1, 2))
+            tap = lk[idx[0], idx[1]]
+            dv = dv + roll2(dam, -di, -dj) * tap.astype(jnp.float32)
+    # Assemble (9, C) tap grads without 1-row sublane concats (Mosaic
+    # rejects them): row-select masks from iota + sublane broadcasts.
+    row = jax.lax.broadcasted_iota(jnp.int32, (9, c), 0)
+    dlk = jnp.zeros((9, c), jnp.float32)
+    for (a, b), g in dtaps.items():
+        dlk = dlk + jnp.where(row == a * 3 + b, 1.0, 0.0) * g[None, :]
+    return dv, dlk, dlb
+
+
 def _window_merge(n: int, L: int) -> int:
     """Windows to pack per dot: small stripe windows (L <= 64) leave most of
     a 128-wide MXU tile idle AND the batched dot's per-issue overhead
@@ -372,6 +496,281 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
     o_ref[...] = x.reshape(G, H, W, C)
 
 
+def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
+                         wqkv_v, bqkv_v, lk0, lb0, lk1, lb1, projk, projb,
+                         n2s, n2b, fc1k, fc1b, fc2k, fc2b, dp0, dp1,
+                         dx_ref, dxt_ref, dn1s_ref, dn1b_ref, dwh_ref,
+                         dbh_ref, dwv_ref, dbv_ref, dlk0_ref, dlb0_ref,
+                         dlk1_ref, dlb1_ref, dprojk_ref, dprojb_ref,
+                         dn2s_ref, dn2b_ref, dfc1k_ref, dfc1b_ref,
+                         dfc2k_ref, dfc2b_ref, ddp0_ref, ddp1_ref, *,
+                         H, W, C, heads, split, scale, qkv_bias, G, droppath):
+    """Hand-written backward of ``_block_kernel_xt``: one fused recompute of
+    the forward intermediates (all in VMEM) + the analytic vjp of every op.
+    Param gradients are per-program partials (summed over programs by XLA).
+    Numerics mirror the forward: bf16 MXU dots with f32 accumulation, f32
+    softmax/LN statistics, f32 gradient accumulation throughout."""
+    half = C // 2
+    h2 = heads // 2
+    nW = W // split
+    nH = H // split
+    GHW = G * H * W
+
+    # ---- forward recompute ----
+    x = x_ref[...].reshape(GHW, C)
+    xn = _layernorm(x, n1s[...], n1b[...])
+    qkv_h = _dot(xn, wqkv_h[...], bqkv_h[...] if qkv_bias else None)
+
+    xt = xt_ref[...].reshape(GHW, C)
+    xtn = _layernorm(xt, n1s[...], n1b[...])
+    qkv_v = _dot(xtn, wqkv_v[...], bqkv_v[...] if qkv_bias else None)
+
+    qt = qkv_v[:, :half].reshape(G * nW, split * H, half)
+    kt = qkv_v[:, half : 2 * half].reshape(G * nW, split * H, half)
+    vt = qkv_v[:, 2 * half :].reshape(G * nW, split * H, half)
+    a0t = _attn_windows(qt, kt, vt, h2, scale)
+    lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0[...],
+                          lb0[...], swap=True)
+    a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
+    a0 = a0t.astype(x.dtype).reshape(G, W, H, half).transpose(0, 2, 1, 3)
+
+    q = qkv_h[:, :half].reshape(G, H, W, half)
+    k = qkv_h[:, half : 2 * half].reshape(G, H, W, half)
+    v = qkv_h[:, 2 * half :].reshape(G, H, W, half)
+    winh = lambda t: t.reshape(G * nH, split * W, half)
+    qw, kw, vw = winh(q), winh(k), winh(v)
+    a1w = _attn_windows(qw, kw, vw, h2, scale)
+    lepe1 = _lepe_windows(vw.reshape(G * nH, split, W, half), lk1[...],
+                          lb1[...])
+    a1 = (a1w.reshape(G * nH, split, W, half).astype(jnp.float32) + lepe1)
+    a1 = a1.astype(x.dtype).reshape(G, H, W, half)
+
+    cat = jnp.concatenate([a0, a1], -1).reshape(GHW, C)
+    att_pre = _dot(cat, projk[...], projb[...])
+    att = att_pre
+    if droppath:
+        att = (att_pre.reshape(G, H * W, C) * dp0[...].astype(att_pre.dtype)
+               ).reshape(GHW, C)
+    x1 = x + att
+
+    y = _layernorm(x1, n2s[...], n2b[...])
+    h1 = _dot(y, fc1k[...], fc1b[...])
+    h1f = h1.astype(jnp.float32)
+    gact = (h1f * 0.5 * (1.0 + _erf(h1f * (2.0 ** -0.5)))).astype(h1.dtype)
+    out2_pre = _dot(gact, fc2k[...], fc2b[...])
+
+    # ---- backward ----
+    do = do_ref[...].reshape(GHW, C).astype(jnp.float32)
+
+    # MLP + second residual
+    do2 = do
+    if droppath:
+        do2 = (do.reshape(G, H * W, C) * dp1[...].astype(jnp.float32)
+               ).reshape(GHW, C)
+        ddp1_ref[...] = jnp.sum(
+            out2_pre.astype(jnp.float32).reshape(G, H * W, C)
+            * do.reshape(G, H * W, C), axis=1, keepdims=True
+        ).reshape(ddp1_ref.shape)
+    else:
+        ddp1_ref[...] = jnp.zeros(ddp1_ref.shape, jnp.float32)
+    do2b = do2.astype(x.dtype)
+    dfc2k_ref[...] = _wgrad(gact, do2b).reshape(dfc2k_ref.shape)
+    dfc2b_ref[...] = jnp.sum(do2, axis=0).reshape(dfc2b_ref.shape)
+    dg = jnp.dot(do2b, fc2k[...].astype(x.dtype).T,
+                 preferred_element_type=jnp.float32)
+    dh1 = _gelu_bwd(h1f, dg)
+    dh1b = dh1.astype(x.dtype)
+    dfc1k_ref[...] = _wgrad(y, dh1b).reshape(dfc1k_ref.shape)
+    dfc1b_ref[...] = jnp.sum(dh1, axis=0).reshape(dfc1b_ref.shape)
+    dy = jnp.dot(dh1b, fc1k[...].astype(x.dtype).T,
+                 preferred_element_type=jnp.float32)
+    dx1_ln, dn2s, dn2b = _ln_bwd(x1, dy, n2s[...])
+    dn2s_ref[...] = dn2s.reshape(dn2s_ref.shape)
+    dn2b_ref[...] = dn2b.reshape(dn2b_ref.shape)
+    dx1 = do + dx1_ln
+
+    # proj + drop-path + first residual
+    datt = dx1
+    if droppath:
+        datt = (dx1.reshape(G, H * W, C) * dp0[...].astype(jnp.float32)
+                ).reshape(GHW, C)
+        ddp0_ref[...] = jnp.sum(
+            att_pre.astype(jnp.float32).reshape(G, H * W, C)
+            * dx1.reshape(G, H * W, C), axis=1, keepdims=True
+        ).reshape(ddp0_ref.shape)
+    else:
+        ddp0_ref[...] = jnp.zeros(ddp0_ref.shape, jnp.float32)
+    dattb = datt.astype(x.dtype)
+    dprojk_ref[...] = _wgrad(cat, dattb).reshape(dprojk_ref.shape)
+    dprojb_ref[...] = jnp.sum(datt, axis=0).reshape(dprojb_ref.shape)
+    dcat = jnp.dot(dattb, projk[...].astype(x.dtype).T,
+                   preferred_element_type=jnp.float32)
+    dcat = dcat.reshape(G, H, W, C)
+    da0 = dcat[..., :half]
+    da1 = dcat[..., half:]
+
+    # horizontal branch backward
+    da1w = da1.reshape(G * nH, split * W, half)
+    dvw_l, dlk1g, dlb1g = _lepe_windows_bwd(
+        vw.reshape(G * nH, split, W, half),
+        da1w.reshape(G * nH, split, W, half), lk1[...])
+    dqw, dkw, dvw = _attn_windows_bwd(qw, kw, vw, da1w, h2, scale)
+    dvw = dvw + dvw_l.reshape(G * nH, split * W, half)
+    dlk1_ref[...] = dlk1g.reshape(dlk1_ref.shape)
+    dlb1_ref[...] = dlb1g.reshape(dlb1_ref.shape)
+    dqkv_h = jnp.concatenate(
+        [dqw.reshape(GHW, half), dkw.reshape(GHW, half),
+         dvw.reshape(GHW, half)], -1)
+    dqkv_hb = dqkv_h.astype(x.dtype)
+    dwh_ref[...] = _wgrad(xn, dqkv_hb).reshape(dwh_ref.shape)
+    dbh_ref[...] = jnp.sum(dqkv_h, axis=0).reshape(dbh_ref.shape)
+    dxn = jnp.dot(dqkv_hb, wqkv_h[...].astype(x.dtype).T,
+                  preferred_element_type=jnp.float32)
+    dx_h, dn1s_h, dn1b_h = _ln_bwd(x, dxn, n1s[...])
+
+    # vertical branch backward (transposed coordinates; mirror of the
+    # forward's single in-kernel transpose)
+    da0t = da0.transpose(0, 2, 1, 3).reshape(G * nW, split * H, half)
+    dvt_l, dlk0g, dlb0g = _lepe_windows_bwd(
+        vt.reshape(G * nW, split, H, half),
+        da0t.reshape(G * nW, split, H, half), lk0[...], swap=True)
+    dqt, dkt, dvt = _attn_windows_bwd(qt, kt, vt, da0t, h2, scale)
+    dvt = dvt + dvt_l.reshape(G * nW, split * H, half)
+    dlk0_ref[...] = dlk0g.reshape(dlk0_ref.shape)
+    dlb0_ref[...] = dlb0g.reshape(dlb0_ref.shape)
+    dqkv_v = jnp.concatenate(
+        [dqt.reshape(GHW, half), dkt.reshape(GHW, half),
+         dvt.reshape(GHW, half)], -1)
+    dqkv_vb = dqkv_v.astype(x.dtype)
+    dwv_ref[...] = _wgrad(xtn, dqkv_vb).reshape(dwv_ref.shape)
+    dbv_ref[...] = jnp.sum(dqkv_v, axis=0).reshape(dbv_ref.shape)
+    dxtn = jnp.dot(dqkv_vb, wqkv_v[...].astype(x.dtype).T,
+                   preferred_element_type=jnp.float32)
+    dxt, dn1s_v, dn1b_v = _ln_bwd(xt, dxtn, n1s[...])
+
+    dn1s_ref[...] = (dn1s_h + dn1s_v).reshape(dn1s_ref.shape)
+    dn1b_ref[...] = (dn1b_h + dn1b_v).reshape(dn1b_ref.shape)
+
+    # dx: residual chain + horizontal LN1 path (the xt/vertical LN1 path is
+    # returned separately and transposed+added by XLA outside the kernel)
+    dx_ref[...] = (dx1 + dx_h).astype(dx_ref.dtype).reshape(G, H, W, C)
+    dxt_ref[...] = dxt.astype(dxt_ref.dtype).reshape(G, W, H, C)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "C", "heads", "split", "scale", "qkv_bias",
+                     "g_images"),
+)
+def _fused_block_bwd_xt(x, params, dps, dout, *, H, W, C, heads, split,
+                        scale, qkv_bias, g_images=None):
+    """Host wrapper for the fused dual-branch backward: splits the qkv
+    weight columns exactly like the forward, runs the kernel, reassembles
+    dqkvk, and reduces per-program param-grad partials."""
+    B = x.shape[0]
+    droppath = dps is not None
+    if dps is None:
+        dps = (jnp.ones((B, 1), jnp.float32), jnp.ones((B, 1), jnp.float32))
+    dp0, dp1 = (jnp.broadcast_to(d.reshape(B, 1, 1), (B, 1, C))
+                for d in dps)
+    (n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1, projk, projb,
+     n2s, n2b, fc1k, fc1b, fc2k, fc2b) = params
+
+    G = g_images if g_images is not None else _default_g(B, H, W, C)
+    while B % G:
+        G //= 2
+    NP = B // G
+    half = C // 2
+    hidden = fc1k.shape[-1]
+
+    xt = x.transpose(0, 2, 1, 3)
+    wqkv_v = jnp.concatenate(
+        [qkvk[:, :half], qkvk[:, C : C + half], qkvk[:, 2 * C : 2 * C + half]], 1)
+    bqkv_v = jnp.concatenate(
+        [qkvb[:half], qkvb[C : C + half], qkvb[2 * C : 2 * C + half]])
+    wqkv_h = jnp.concatenate(
+        [qkvk[:, half : C], qkvk[:, C + half : 2 * C], qkvk[:, 2 * C + half :]], 1)
+    bqkv_h = jnp.concatenate(
+        [qkvb[half : C], qkvb[C + half : 2 * C], qkvb[2 * C + half :]])
+    kparams = (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
+               projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((G, H, W, C), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    xt_spec = pl.BlockSpec((G, W, H, C), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dp_spec = pl.BlockSpec((G, 1, C), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    pgrad = lambda *shape: (
+        pl.BlockSpec((1,) + shape, lambda b, _n=len(shape): (b,) + tuple(
+            0 for _ in range(_n)), memory_space=pltpu.VMEM),
+        jax.ShapeDtypeStruct((NP,) + shape, jnp.float32),
+    )
+    out_defs = [
+        (x_spec, jax.ShapeDtypeStruct(x.shape, jnp.float32)),          # dx
+        (xt_spec, jax.ShapeDtypeStruct((B, W, H, C), jnp.float32)),    # dxt
+        pgrad(1, C), pgrad(1, C),                                      # dn1
+        pgrad(C, 3 * half), pgrad(1, 3 * half),                        # dWh
+        pgrad(C, 3 * half), pgrad(1, 3 * half),                        # dWv
+        pgrad(9, half), pgrad(1, half),                                # dlk0
+        pgrad(9, half), pgrad(1, half),                                # dlk1
+        pgrad(C, C), pgrad(1, C),                                      # dproj
+        pgrad(1, C), pgrad(1, C),                                      # dn2
+        pgrad(C, hidden), pgrad(1, hidden),                            # dfc1
+        pgrad(hidden, C), pgrad(1, C),                                 # dfc2
+        (dp_spec, jax.ShapeDtypeStruct((B, 1, C), jnp.float32)),       # ddp0
+        (dp_spec, jax.ShapeDtypeStruct((B, 1, C), jnp.float32)),       # ddp1
+    ]
+
+    kern = functools.partial(
+        _block_bwd_kernel_xt, H=H, W=W, C=C, heads=heads, split=split,
+        scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath,
+    )
+    outs = pl.pallas_call(
+        kern,
+        grid=(NP,),
+        in_specs=[x_spec, xt_spec, x_spec] + [full(p.shape) for p in kparams]
+        + [dp_spec, dp_spec],
+        out_specs=[d[0] for d in out_defs],
+        out_shape=[d[1] for d in out_defs],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(x, xt, dout, *kparams, dp0, dp1)
+
+    (dx, dxt, dn1s, dn1b, dwh, dbh, dwv, dbv, dlk0, dlb0, dlk1, dlb1,
+     dprojk, dprojb, dn2s, dn2b, dfc1k, dfc1b, dfc2k, dfc2b,
+     ddp0, ddp1) = outs
+
+    dx = dx + dxt.transpose(0, 2, 1, 3)
+    red = lambda t: jnp.sum(t, axis=0)
+    dwh, dwv = red(dwh), red(dwv)
+    dbh, dbv = red(dbh)[0], red(dbv)[0]
+    # invert the column split: qkvk cols [q | k | v], each [v-half | h-half]
+    dqkvk = jnp.concatenate(
+        [dwv[:, :half], dwh[:, :half],
+         dwv[:, half : 2 * half], dwh[:, half : 2 * half],
+         dwv[:, 2 * half :], dwh[:, 2 * half :]], 1)
+    dqkvb = jnp.concatenate(
+        [dbv[:half], dbh[:half], dbv[half : 2 * half], dbh[half : 2 * half],
+         dbv[2 * half :], dbh[2 * half :]])
+    dparams = (
+        red(dn1s)[0], red(dn1b)[0], dqkvk,
+        dqkvb if qkv_bias else jnp.zeros_like(qkvb),
+        red(dlk0).reshape(3, 3, half), red(dlb0)[0],
+        red(dlk1).reshape(3, 3, half), red(dlb1)[0],
+        red(dprojk), red(dprojb)[0], red(dn2s)[0], red(dn2b)[0],
+        red(dfc1k), red(dfc1b)[0], red(dfc2k), red(dfc2b)[0],
+    )
+    dparams = tuple(g.astype(p.dtype) for g, p in zip(dparams, params))
+    ddps = ((jnp.sum(ddp0, axis=2).astype(dps[0].dtype),
+             jnp.sum(ddp1, axis=2).astype(dps[1].dtype))
+            if droppath else None)
+    return dx.astype(x.dtype), dparams, ddps
+
+
 def _default_g(B: int, H: int, W: int, C: int) -> int:
     """Images per grid program. Small-image stages (3/4) batch several
     images so the per-op VPU/MXU shapes amortize fixed overhead; stage 1's
@@ -537,7 +936,17 @@ def _fwd(x, params, dps, *static):
 
 def _bwd(*args):
     static, residuals, g = args[:-2], args[-2], args[-1]
+    H, W, C, heads, split, last_stage, scale, qkv_bias = static
     x, params, dps = residuals
+    if not last_stage and H >= 28:
+        # Hand-written fused backward kernel: one in-VMEM recompute of the
+        # forward + analytic vjp. Wins where activations are large (bs128
+        # measured: stage 1 10.1 vs 18.8 ms replay, stage 2 7.3 vs 13.1);
+        # at 14x14 the replay's saved-activation XLA bwd is cheaper
+        # (3.2 vs 4.9 ms) because HBM traffic is no longer the constraint.
+        return _fused_block_bwd_xt(
+            x, params, dps, g, H=H, W=W, C=C, heads=heads, split=split,
+            scale=scale, qkv_bias=qkv_bias)
     _, vjp = jax.vjp(
         lambda a, p, d: composed_block(a, p, *static, dps=d), x, params, dps
     )

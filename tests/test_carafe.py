@@ -104,31 +104,6 @@ def test_fast_impl_matches_reference_impl(rng):
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
-def test_pallas_reassemble_matches_f64_oracle(rng):
-    """The Pallas reassembly kernel is bit-accurate f32 (unlike the TPU
-    einsum path, whose MXU rounds operands to bf16)."""
-    import jax.numpy as jnp
-    from cswin_unet_tpu.ops.pallas.carafe_kernel import carafe_reassemble
-
-    B, H, W, C, up = 1, 4, 4, 8, 2
-    y = rng.standard_normal((B, H, W, C)).astype(np.float32)
-    kern = rng.random((B, H, W, 9 * up * up)).astype(np.float32)
-    yp = np.pad(y.astype(np.float64), ((0, 0), (1, 1), (1, 1), (0, 0)))
-    want = np.zeros((B, H * up, W * up, C))
-    for r in range(H):
-        for w in range(W):
-            for i in range(up):
-                for j in range(up):
-                    s = i * up + j
-                    acc = np.zeros(C)
-                    for di in range(3):
-                        for dj in range(3):
-                            acc += yp[0, r + di, w + dj] * kern[0, r, w, (di * 3 + dj) * up * up + s]
-                    want[0, r * up + i, w * up + j] = acc
-    got = np.asarray(carafe_reassemble(jnp.asarray(y), jnp.asarray(kern), up, 3))
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
-
-
 def test_carafe_with_classifier_matches_composition(rng):
     """Fused CARAFE4+classifier tail == CARAFE then 1x1 classifier, exactly."""
     import jax.numpy as jnp
