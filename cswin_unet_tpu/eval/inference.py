@@ -34,11 +34,31 @@ class VolumeInferencer:
 
     ``class_indices`` (optional) gathers a subset of output channels before
     argmax — the continual-learning test wrapper (universal_test.py:18-54).
-    """
+
+    ``data_parallel`` (default: on when >1 device is visible) shards each
+    slice chunk over the device mesh's ``data`` axis with replicated
+    params — slices are independent, so eval/serving scales linearly over
+    chips with zero collectives (SURVEY §2.7's DataParallel duty, applied
+    to inference)."""
 
     def __init__(self, model, params, *, patch_size=(224, 224), batch_slices=32,
-                 class_indices=None):
+                 class_indices=None, data_parallel=None):
         self.patch = tuple(patch_size)
+        n_dev = len(jax.devices())
+        if data_parallel is None:
+            data_parallel = n_dev > 1
+        if data_parallel and n_dev > 1:
+            from ..parallel import (batch_sharding, make_mesh, replicate,
+                                    replicated_sharding)
+
+            n_mesh = min(n_dev, batch_slices)
+            while batch_slices % n_mesh:
+                n_mesh -= 1
+            mesh = make_mesh(n_mesh)
+            self._in_sharding = batch_sharding(mesh)
+            params = replicate(params, replicated_sharding(mesh))
+        else:
+            self._in_sharding = None
         self.batch = batch_slices
         self.params = params
         idx = None if class_indices is None else jnp.asarray(class_indices)
@@ -63,7 +83,10 @@ class VolumeInferencer:
             if real < self.batch:  # pad to the compiled shape
                 pad = np.repeat(chunk[-1:], self.batch - real, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            pred = self._fn(self.params, jnp.asarray(chunk))
+            dev = jnp.asarray(chunk)
+            if self._in_sharding is not None:
+                dev = jax.device_put(dev, self._in_sharding)
+            pred = self._fn(self.params, dev)
             out[start : start + real] = np.asarray(pred)[:real]
         return out
 

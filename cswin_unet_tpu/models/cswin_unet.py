@@ -205,12 +205,20 @@ class CSWinBlock(nn.Module):
 
         if self.attn_impl == "fused" and deterministic:
             return self._fused(x, H, W, C, last)
-        if self.attn_impl == "fused" and self.drop == 0.0 and self.attn_drop == 0.0:
-            # Training path: fused forward with per-sample drop-path masks as
-            # kernel inputs (timm DropPath semantics — binary keep mask
-            # scaled by 1/(1-p)); backward replays the XLA composition via
-            # custom_vjp. Dropout inside attention/MLP is 0 in every config,
-            # so the fused kernel covers training exactly.
+        # Training routing, measured at bs128 per block (fwd+bwd):
+        # reso >= 28 the fused kernel pair wins (stage 1: 14.8 vs 20.2 ms
+        # XLA; stage 2: 9.9 vs 13.9); at 14x14 and the last stage the XLA
+        # composition's saved-activation backward is cheaper than fused-fwd
+        # + composed-replay (stage 3: 4.1 vs 4.75), so those blocks train
+        # through the plain XLA composition below.
+        fuse_train = (self.attn_impl == "fused" and self.drop == 0.0
+                      and self.attn_drop == 0.0 and not last and H >= 28)
+        if fuse_train:
+            # Fused forward with per-sample drop-path masks as kernel inputs
+            # (timm DropPath semantics — binary keep mask scaled by 1/(1-p));
+            # the custom_vjp backward is the hand-written fused kernel.
+            # Dropout inside attention/MLP is 0 in every config, so the
+            # fused kernel covers training exactly.
             if self.drop_path > 0.0:
                 rng = self.make_rng("dropout")
                 r0, r1 = jax.random.split(rng)
@@ -221,9 +229,9 @@ class CSWinBlock(nn.Module):
             else:
                 dps = None
             return self._fused(x, H, W, C, last, dps=dps)
-        # Composed fallback (nonzero attention/MLP dropout) with the
-        # per-branch pallas attention kernel.
-        attn_impl = "pallas" if self.attn_impl == "fused" else self.attn_impl
+        # Composed fallback: plain XLA when routed here for training speed,
+        # per-branch pallas attention kernel otherwise (nonzero dropout).
+        attn_impl = "xla" if self.attn_impl == "fused" else self.attn_impl
 
         img = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(

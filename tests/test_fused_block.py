@@ -150,3 +150,67 @@ def test_model_training_uses_fused_kernel():
     y1 = m.apply(params, x, rngs={"dropout": jax.random.PRNGKey(3)})
     y2 = m.apply(params, x, rngs={"dropout": jax.random.PRNGKey(4)})
     assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-6
+
+
+def test_fused_bwd_kernel_matches_composed():
+    """reso >= 28 routes the custom_vjp to the hand-written fused backward
+    kernel (_fused_block_bwd_xt) — grads must match the composed oracle."""
+    from cswin_unet_tpu.ops.pallas.cswin_block import fused_cswin_block
+
+    H, W, C, heads, split = 32, 32, 16, 2, 2
+    rng = np.random.default_rng(11)
+    params = _params(rng, C, C // 2)
+    B = 2
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    dps = (
+        jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32) * 2.0),
+        jnp.asarray(rng.integers(0, 2, (B, 1)).astype(np.float32) * 2.0),
+    )
+
+    def loss_fused(x, p):
+        return jnp.sum(
+            fused_cswin_block(x, p, dps, H, W, C, heads, split, False, scale,
+                              True) ** 2)
+
+    def loss_ref(x, p):
+        return jnp.sum(
+            composed_block(x, p, H, W, C, heads, split, False, scale, True,
+                           dps=dps) ** 2)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(gp_f, gp_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_bwd_kernel_no_droppath():
+    """Deterministic-mask-free path through the fused backward kernel."""
+    from cswin_unet_tpu.ops.pallas.cswin_block import fused_cswin_block
+
+    H, W, C, heads, split = 32, 32, 16, 2, 1
+    rng = np.random.default_rng(12)
+    params = _params(rng, C, C // 2)
+    x = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+
+    def loss_fused(x, p):
+        return jnp.sum(
+            fused_cswin_block(x, p, None, H, W, C, heads, split, False, scale,
+                              True) ** 2)
+
+    def loss_ref(x, p):
+        return jnp.sum(
+            composed_block(x, p, H, W, C, heads, split, False, scale,
+                           True) ** 2)
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=2e-4, atol=2e-4)
+    for a, b in zip(gp_f, gp_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)

@@ -89,3 +89,19 @@ def test_watch_loop_drains_and_quarantines(server, tmp_path):
     stats = [json.loads(l) for l in lines]
     assert any("error" in s for s in stats)
     assert any(s.get("case") == "good" for s in stats)
+
+
+def test_inferencer_data_parallel_bit_equal():
+    """Sharded eval over the 8-virtual-device mesh == single-device output."""
+    from cswin_unet_tpu.eval.inference import VolumeInferencer
+
+    m = CSwinUnet(backbone=CSWinUNet(**SMALL))
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))
+    assert len(jax.devices()) == 8
+    single = VolumeInferencer(m, params, patch_size=(32, 32), batch_slices=8,
+                              data_parallel=False)
+    sharded = VolumeInferencer(m, params, patch_size=(32, 32), batch_slices=8,
+                               data_parallel=True)
+    slices = np.random.default_rng(5).normal(size=(11, 32, 32)).astype(np.float32)
+    np.testing.assert_array_equal(single.predict_slices(slices),
+                                  sharded.predict_slices(slices))
