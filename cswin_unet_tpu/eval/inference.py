@@ -73,10 +73,16 @@ class VolumeInferencer:
         self._fn = jax.jit(forward)
 
     def predict_slices(self, slices: np.ndarray) -> np.ndarray:
-        """(N, H, W) float32 at patch size -> (N, H, W) int32 labels."""
+        """(N, H, W) float32 at patch size -> (N, H, W) int32 labels.
+
+        All chunks are dispatched before any result is pulled: jax's async
+        dispatch queues the H2D copies and forwards back-to-back, so
+        transfer overlaps compute instead of serializing with it (the
+        per-chunk D2H pull was the pipeline bubble)."""
         n = slices.shape[0]
         out = np.empty((n,) + self.patch, dtype=np.int32)
         x = slices[..., None]  # NHWC, C=1
+        pending = []
         for start in range(0, n, self.batch):
             chunk = x[start : start + self.batch]
             real = chunk.shape[0]
@@ -86,7 +92,8 @@ class VolumeInferencer:
             dev = jnp.asarray(chunk)
             if self._in_sharding is not None:
                 dev = jax.device_put(dev, self._in_sharding)
-            pred = self._fn(self.params, dev)
+            pending.append((start, real, self._fn(self.params, dev)))
+        for start, real, pred in pending:
             out[start : start + real] = np.asarray(pred)[:real]
         return out
 

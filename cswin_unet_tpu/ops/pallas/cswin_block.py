@@ -498,7 +498,8 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
 
 def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
                          wqkv_v, bqkv_v, lk0, lb0, lk1, lb1, projk, projb,
-                         n2s, n2b, fc1k, fc1b, fc2k, fc2b, dp0, dp1,
+                         n2s, n2b, fc1k, fc1b, fc2k, fc2b,
+                         wh_t, wv_t, projk_t, fc1k_t, fc2k_t, dp0, dp1,
                          dx_ref, dxt_ref, dn1s_ref, dn1b_ref, dwh_ref,
                          dbh_ref, dwv_ref, dbv_ref, dlk0_ref, dlb0_ref,
                          dlk1_ref, dlb1_ref, dprojk_ref, dprojb_ref,
@@ -576,13 +577,13 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     do2b = do2.astype(x.dtype)
     dfc2k_ref[...] = _wgrad(gact, do2b).reshape(dfc2k_ref.shape)
     dfc2b_ref[...] = jnp.sum(do2, axis=0).reshape(dfc2b_ref.shape)
-    dg = jnp.dot(do2b, fc2k[...].astype(x.dtype).T,
+    dg = jnp.dot(do2b, fc2k_t[...].astype(x.dtype),
                  preferred_element_type=jnp.float32)
     dh1 = _gelu_bwd(h1f, dg)
     dh1b = dh1.astype(x.dtype)
     dfc1k_ref[...] = _wgrad(y, dh1b).reshape(dfc1k_ref.shape)
     dfc1b_ref[...] = jnp.sum(dh1, axis=0).reshape(dfc1b_ref.shape)
-    dy = jnp.dot(dh1b, fc1k[...].astype(x.dtype).T,
+    dy = jnp.dot(dh1b, fc1k_t[...].astype(x.dtype),
                  preferred_element_type=jnp.float32)
     dx1_ln, dn2s, dn2b = _ln_bwd(x1, dy, n2s[...])
     dn2s_ref[...] = dn2s.reshape(dn2s_ref.shape)
@@ -603,7 +604,7 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     dattb = datt.astype(x.dtype)
     dprojk_ref[...] = _wgrad(cat, dattb).reshape(dprojk_ref.shape)
     dprojb_ref[...] = jnp.sum(datt, axis=0).reshape(dprojb_ref.shape)
-    dcat = jnp.dot(dattb, projk[...].astype(x.dtype).T,
+    dcat = jnp.dot(dattb, projk_t[...].astype(x.dtype),
                    preferred_element_type=jnp.float32)
     dcat = dcat.reshape(G, H, W, C)
     da0 = dcat[..., :half]
@@ -624,7 +625,7 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     dqkv_hb = dqkv_h.astype(x.dtype)
     dwh_ref[...] = _wgrad(xn, dqkv_hb).reshape(dwh_ref.shape)
     dbh_ref[...] = jnp.sum(dqkv_h, axis=0).reshape(dbh_ref.shape)
-    dxn = jnp.dot(dqkv_hb, wqkv_h[...].astype(x.dtype).T,
+    dxn = jnp.dot(dqkv_hb, wh_t[...].astype(x.dtype),
                   preferred_element_type=jnp.float32)
     dx_h, dn1s_h, dn1b_h = _ln_bwd(x, dxn, n1s[...])
 
@@ -644,7 +645,7 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     dqkv_vb = dqkv_v.astype(x.dtype)
     dwv_ref[...] = _wgrad(xtn, dqkv_vb).reshape(dwv_ref.shape)
     dbv_ref[...] = jnp.sum(dqkv_v, axis=0).reshape(dbv_ref.shape)
-    dxtn = jnp.dot(dqkv_vb, wqkv_v[...].astype(x.dtype).T,
+    dxtn = jnp.dot(dqkv_vb, wv_t[...].astype(x.dtype),
                    preferred_element_type=jnp.float32)
     dxt, dn1s_v, dn1b_v = _ln_bwd(xt, dxtn, n1s[...])
 
@@ -692,8 +693,11 @@ def _fused_block_bwd_xt(x, params, dps, dout, *, H, W, C, heads, split,
         [qkvk[:, half : C], qkvk[:, C + half : 2 * C], qkvk[:, 2 * C + half :]], 1)
     bqkv_h = jnp.concatenate(
         [qkvb[half : C], qkvb[C + half : 2 * C], qkvb[2 * C + half :]])
+    # Pre-transposed weights for the dX dots: one XLA HBM transpose beats a
+    # per-program Mosaic relayout (NP of them).
     kparams = (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
-               projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b)
+               projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
+               wqkv_h.T, wqkv_v.T, projk.T, fc1k.T, fc2k.T)
 
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
