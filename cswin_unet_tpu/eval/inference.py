@@ -44,9 +44,13 @@ class VolumeInferencer:
     def __init__(self, model, params, *, patch_size=(224, 224), batch_slices=32,
                  class_indices=None, data_parallel=None):
         self.patch = tuple(patch_size)
-        n_dev = len(jax.devices())
+        # Local (addressable) devices only: in a multi-process run
+        # jax.devices() includes non-addressable devices, and device_put to
+        # a mesh over those would fail — auto-enable is per-host.
+        n_dev = len(jax.local_devices())
         if data_parallel is None:
-            data_parallel = n_dev > 1
+            data_parallel = n_dev > 1 and jax.process_count() == 1
+        n_mesh = 1
         if data_parallel and n_dev > 1:
             from ..parallel import (batch_sharding, make_mesh, replicate,
                                     replicated_sharding)
@@ -60,6 +64,13 @@ class VolumeInferencer:
         else:
             self._in_sharding = None
         self.batch = batch_slices
+        # Tail buckets: smaller compiled shapes for the last chunk so a
+        # 33-slice volume at batch 32 runs 32+8 slices, not 32+32 (the
+        # small-volume serving case). Halving keeps mesh divisibility.
+        self._buckets = [batch_slices]
+        while (self._buckets[0] % 2 == 0 and self._buckets[0] // 2 >= 8
+               and self._buckets[0] // 2 % n_mesh == 0):
+            self._buckets.insert(0, self._buckets[0] // 2)
         self.params = params
         idx = None if class_indices is None else jnp.asarray(class_indices)
 
@@ -83,18 +94,31 @@ class VolumeInferencer:
         out = np.empty((n,) + self.patch, dtype=np.int32)
         x = slices[..., None]  # NHWC, C=1
         pending = []
-        for start in range(0, n, self.batch):
-            chunk = x[start : start + self.batch]
-            real = chunk.shape[0]
-            if real < self.batch:  # pad to the compiled shape
-                pad = np.repeat(chunk[-1:], self.batch - real, axis=0)
+
+        def drain(item):
+            start, real, pred = item
+            out[start : start + real] = np.asarray(pred)[:real]
+
+        start = 0
+        while start < n:
+            real = min(self.batch, n - start)
+            # tail chunks run at the smallest compiled bucket that fits
+            size = next(b for b in self._buckets if b >= real)
+            chunk = x[start : start + real]
+            if real < size:  # pad to the compiled shape
+                pad = np.repeat(chunk[-1:], size - real, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
             dev = jnp.asarray(chunk)
             if self._in_sharding is not None:
                 dev = jax.device_put(dev, self._in_sharding)
             pending.append((start, real, self._fn(self.params, dev)))
-        for start, real, pred in pending:
-            out[start : start + real] = np.asarray(pred)[:real]
+            # Keep a sliding window of in-flight chunks: enough overlap to
+            # hide transfers, bounded device memory on deep volumes.
+            if len(pending) > 6:
+                drain(pending.pop(0))
+            start += real
+        for item in pending:
+            drain(item)
         return out
 
 

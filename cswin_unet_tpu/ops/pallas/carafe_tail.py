@@ -82,6 +82,11 @@ def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
     sums = jnp.dot(e, sum_sel[...], preferred_element_type=jnp.float32)
     denom = jnp.dot(sums, spread_sel[...],
                     preferred_element_type=jnp.float32)    # (GHW, k2*up2)
+    # The global row max can sit ~88+ above every tap of one up-position
+    # group under outlier activations, underflowing that group's exps to 0;
+    # clamping the denominator keeps kern finite (uniform-ish taps) instead
+    # of 0/0 = NaN.
+    denom = jnp.maximum(denom, 1e-30)
     kern = (e / denom).astype(x2.dtype).reshape(G, H, W, K2 * UP2)
 
     # --- classes before reassembly ---

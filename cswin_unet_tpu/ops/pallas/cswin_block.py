@@ -293,6 +293,181 @@ def _lepe_windows_bwd(vw, da, lk, swap=False):
     return dv, dlk, dlb
 
 
+def _hb_params(L: int, heads: int, d: int):
+    """Head-block packing geometry for ``_attn_windows_hb``: returns
+    (gh, S) — heads per block-dot and the 128-aligned padded segment
+    width — or None where head-blocking cannot apply (single head per
+    dot, or d not a divisor of the 128-lane MXU width)."""
+    if d > 128 or 128 % d:
+        return None
+    gh = min(heads, 128 // d)
+    if gh < 2:
+        return None
+    S = -(-L // 128) * 128
+    return gh, S
+
+
+def _attn_windows_hb(q, k, v, heads, scale, merge=None):
+    """Head-block stripe attention: same math as ``_attn_windows`` but gh
+    heads ride ONE pair of full-width MXU dots instead of gh narrow
+    per-head dots whose d=32 contraction starves the 128-deep systolic
+    array (and whose 32-offset lane slices force Mosaic relayouts).
+
+    K and V are tiled block-diagonally along sublanes — segment g of
+    (gh·S) sublanes holds head g's rows, everything off the head-diagonal
+    zeroed — so
+
+        S_all = Qg @ K_blkᵀ   (contraction gh·d = 128 lanes wide)
+        out   = P @ V_blk     (contraction gh·S)
+
+    computes every head's scores/outputs jointly; a per-segment softmax
+    sits between. Invalid lanes (row padding, cross-window when windows
+    are also merged) get -1e9 so their probabilities are exp(-1e9) == 0 —
+    the exact block-diagonal scheme ``_attn_windows`` already uses for
+    window merging. Outputs land directly in natural head-concatenated
+    lane order; no per-head concat, no narrow lane slicing."""
+    n0, L0, C2 = q.shape
+    d = C2 // heads
+    m = _window_merge(n0, L0) if merge is None else merge
+    if m > 1:
+        q = q.reshape(n0 // m, m * L0, C2)
+        k = k.reshape(n0 // m, m * L0, C2)
+        v = v.reshape(n0 // m, m * L0, C2)
+    n, L = q.shape[0], m * L0
+    gh, S = _hb_params(L, heads, d)
+    ng = heads // gh
+    Cg = gh * d
+
+    blk, smask, pad = _hb_masks(n, L, L0, Cg, d, gh, S, q.dtype)
+
+    def tile(t):
+        if pad is not None:
+            t = jnp.concatenate([t, pad], 1)
+        if gh > 1:
+            t = jnp.concatenate([t] * gh, 1)
+        return t * blk
+
+    outs = []
+    for g in range(ng):
+        sl = slice(g * Cg, (g + 1) * Cg)
+        qg = q[:, :, sl] * scale
+        kb = tile(k[:, :, sl])
+        vb = tile(v[:, :, sl])
+        s = jax.lax.dot_general(qg, kb, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + smask
+        p = _hb_softmax(s, gh, S).astype(q.dtype)
+        outs.append(jax.lax.dot_general(p, vb, (((2,), (1,)), ((0,), (0,))),
+                                        preferred_element_type=jnp.float32))
+    out = outs[0] if ng == 1 else jnp.concatenate(outs, -1)
+    return out.astype(q.dtype).reshape(n0, L0, C2)
+
+
+def _hb_masks(n, L, L0, Cg, d, gh, S, dtype):
+    """Constant masks for head-block attention: the block-diagonal K/V
+    tiling keep-mask (gh·S, Cg), the additive -1e9 score mask (L, gh·S)
+    (padding + merged-window confinement), and the sublane zero-pad."""
+    jj = jax.lax.broadcasted_iota(jnp.int32, (gh * S, Cg), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (gh * S, Cg), 1)
+    blk = ((jj // S == cc // d) & (jj % S < L)).astype(dtype)
+    ri = jax.lax.broadcasted_iota(jnp.int32, (L, gh * S), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (L, gh * S), 1)
+    smask = jnp.where((ci % S < L) & (ri // L0 == (ci % S) // L0),
+                      0.0, -1e9).astype(jnp.float32)
+    pad = jnp.zeros((n, S - L, Cg), dtype) if S > L else None
+    return blk, smask, pad
+
+
+def _hb_softmax(s, gh, S):
+    """Per-128-aligned-segment (= per-head) softmax over the lane dim of
+    (n, L, gh·S) f32 scores."""
+    ps = []
+    for h in range(gh):
+        seg = s[:, :, h * S : (h + 1) * S]
+        seg = seg - jnp.max(seg, axis=-1, keepdims=True)
+        e = jnp.exp(seg)
+        ps.append(e / jnp.sum(e, axis=-1, keepdims=True))
+    return ps[0] if gh == 1 else jnp.concatenate(ps, -1)
+
+
+def _attn_windows_bwd_hb(q, k, v, da, heads, scale, merge=None):
+    """Backward of ``_attn_windows_hb`` (same math as ``_attn_windows_bwd``
+    — recompute P, softmax-attention vjp — but with the head-block wide
+    dots: 5 full-width dots per head-group instead of 5 narrow dots per
+    head). Returns (dq, dk, dv) f32."""
+    n0, L0, C2 = q.shape
+    d = C2 // heads
+    m = _window_merge(n0, L0) if merge is None else merge
+    if m > 1:
+        q = q.reshape(n0 // m, m * L0, C2)
+        k = k.reshape(n0 // m, m * L0, C2)
+        v = v.reshape(n0 // m, m * L0, C2)
+        da = da.reshape(n0 // m, m * L0, C2)
+    n, L = q.shape[0], m * L0
+    gh, S = _hb_params(L, heads, d)
+    ng = heads // gh
+    Cg = gh * d
+
+    blk, smask, pad = _hb_masks(n, L, L0, Cg, d, gh, S, q.dtype)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (L, Cg), 1)
+
+    def tile(t):
+        if pad is not None:
+            t = jnp.concatenate([t, pad], 1)
+        if gh > 1:
+            t = jnp.concatenate([t] * gh, 1)
+        return t * blk
+
+    def untile(t_blk):
+        # t_blk (n, gh·S, Cg) → (n, L, Cg): element (j, c) of the result
+        # lives at sublane (c//d)·S + j of its head's segment.
+        acc = None
+        for h in range(gh):
+            seg = t_blk[:, h * S : h * S + L, :]
+            segm = seg * (cc // d == h).astype(seg.dtype)
+            acc = segm if acc is None else acc + segm
+        return acc
+
+    dqs, dks, dvs = [], [], []
+    for g in range(ng):
+        sl = slice(g * Cg, (g + 1) * Cg)
+        qg = q[:, :, sl] * scale
+        kb = tile(k[:, :, sl])
+        vb = tile(v[:, :, sl])
+        s = jax.lax.dot_general(qg, kb, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        s = s + smask
+        p = _hb_softmax(s, gh, S)
+        pb = p.astype(q.dtype)
+        dag = da[:, :, sl].astype(q.dtype)
+        # dP = dA V_blkᵀ (contraction over lanes of both — no transpose)
+        dp = jax.lax.dot_general(dag, vb, (((2,), (2,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        # dV_blk = Pᵀ dA, then segment-extract the head-diagonal
+        dvs.append(untile(
+            jax.lax.dot_general(pb, dag, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)))
+        # dS = P ∘ (dP − per-segment rowsum(dP ∘ P)); masked lanes: P == 0
+        dss = []
+        for h in range(gh):
+            seg = slice(h * S, (h + 1) * S)
+            dpp = dp[:, :, seg] * p[:, :, seg]
+            dss.append(p[:, :, seg]
+                       * (dp[:, :, seg]
+                          - jnp.sum(dpp, axis=-1, keepdims=True)))
+        ds = dss[0] if gh == 1 else jnp.concatenate(dss, -1)
+        dsb = ds.astype(q.dtype)
+        dqs.append(jax.lax.dot_general(dsb, kb, (((2,), (1,)), ((0,), (0,))),
+                                       preferred_element_type=jnp.float32)
+                   * scale)
+        dks.append(untile(
+            jax.lax.dot_general(dsb, qg, (((1,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)))
+    cat = lambda xs: (xs[0] if ng == 1 else jnp.concatenate(xs, -1))
+    return (cat(dqs).reshape(n0, L0, C2), cat(dks).reshape(n0, L0, C2),
+            cat(dvs).reshape(n0, L0, C2))
+
+
 def _window_merge(n: int, L: int) -> int:
     """Windows to pack per dot: small stripe windows (L <= 64) leave most of
     a 128-wide MXU tile idle AND the batched dot's per-issue overhead
@@ -303,6 +478,42 @@ def _window_merge(n: int, L: int) -> int:
     while m * 2 * L <= 128 and n % (m * 2) == 0:
         m *= 2
     return m
+
+
+# Head-block routing mode: "auto" (per-geometry measured table), "on", "off".
+# Experiments monkeypatch this to A/B the two attention formulations.
+_HB_MODE = "auto"
+
+
+def _use_hb(L_merged: int, heads: int, d: int) -> bool:
+    """Measured per-geometry routing between the per-head narrow dots
+    (``_attn_windows``) and the head-block wide dots (``_attn_windows_hb``).
+    TPU chain timings (scripts/exp_hb.py, bs128): head-block wins wherever
+    >= 2 heads share a dot — the d=32 contraction starves the MXU and the
+    32-offset lane slices force Mosaic relayouts."""
+    if _hb_params(L_merged, heads, d) is None:
+        return False
+    if _HB_MODE != "auto":
+        return _HB_MODE == "on"
+    return True
+
+
+def _attn_auto(q, k, v, heads, scale):
+    n, L0, C2 = q.shape
+    d = C2 // heads
+    m = _window_merge(n, L0)
+    if _use_hb(m * L0, heads, d):
+        return _attn_windows_hb(q, k, v, heads, scale, merge=m)
+    return _attn_windows(q, k, v, heads, scale, merge=m)
+
+
+def _attn_bwd_auto(q, k, v, da, heads, scale):
+    n, L0, C2 = q.shape
+    d = C2 // heads
+    m = _window_merge(n, L0)
+    if _use_hb(m * L0, heads, d):
+        return _attn_windows_bwd_hb(q, k, v, da, heads, scale, merge=m)
+    return _attn_windows_bwd(q, k, v, da, heads, scale, merge=m)
 
 
 def _attn_windows(q, k, v, heads, scale, merge=None):
@@ -351,7 +562,7 @@ def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
         return x.reshape(G * nH, L, C2)
 
     vw = win(v)
-    out = _attn_windows(win(q), win(k), vw, heads, scale)
+    out = _attn_auto(win(q), win(k), vw, heads, scale)
     lepe = _lepe_windows(vw.reshape(G * nH, sp, W, C2), lk, lb)
     out = (out.reshape(G * nH, sp, W, C2).astype(jnp.float32) + lepe)
     return out.astype(q.dtype).reshape(G, H, W, C2)
@@ -373,7 +584,7 @@ def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
     def win(x):
         return x.transpose(0, 2, 1, 3).reshape(G * nW, sp * H, C2)
 
-    out = _attn_windows(win(q), win(k), win(v), heads, scale)
+    out = _attn_auto(win(q), win(k), win(v), heads, scale)
     out = out.reshape(G, W, H, C2).transpose(0, 2, 1, 3)
     # LePE on the image-layout v: the transpose-derived windowed layout
     # breaks Mosaic's concat lowering in composition, so this branch keeps
@@ -408,7 +619,7 @@ def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
     qt = qkv_v[:, :half].reshape(G * nW, split * H, half)
     kt = qkv_v[:, half : 2 * half].reshape(G * nW, split * H, half)
     vt = qkv_v[:, 2 * half :].reshape(G * nW, split * H, half)
-    a0t = _attn_windows(qt, kt, vt, h2, scale)
+    a0t = _attn_auto(qt, kt, vt, h2, scale)
     lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0[...],
                           lb0[...], swap=True)
     a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
@@ -529,7 +740,7 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     qt = qkv_v[:, :half].reshape(G * nW, split * H, half)
     kt = qkv_v[:, half : 2 * half].reshape(G * nW, split * H, half)
     vt = qkv_v[:, 2 * half :].reshape(G * nW, split * H, half)
-    a0t = _attn_windows(qt, kt, vt, h2, scale)
+    a0t = _attn_auto(qt, kt, vt, h2, scale)
     lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0[...],
                           lb0[...], swap=True)
     a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
@@ -540,7 +751,7 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     v = qkv_h[:, 2 * half :].reshape(G, H, W, half)
     winh = lambda t: t.reshape(G * nH, split * W, half)
     qw, kw, vw = winh(q), winh(k), winh(v)
-    a1w = _attn_windows(qw, kw, vw, h2, scale)
+    a1w = _attn_auto(qw, kw, vw, h2, scale)
     lepe1 = _lepe_windows(vw.reshape(G * nH, split, W, half), lk1[...],
                           lb1[...])
     a1 = (a1w.reshape(G * nH, split, W, half).astype(jnp.float32) + lepe1)
@@ -615,7 +826,7 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     dvw_l, dlk1g, dlb1g = _lepe_windows_bwd(
         vw.reshape(G * nH, split, W, half),
         da1w.reshape(G * nH, split, W, half), lk1[...])
-    dqw, dkw, dvw = _attn_windows_bwd(qw, kw, vw, da1w, h2, scale)
+    dqw, dkw, dvw = _attn_bwd_auto(qw, kw, vw, da1w, h2, scale)
     dvw = dvw + dvw_l.reshape(G * nH, split * W, half)
     dlk1_ref[...] = dlk1g.reshape(dlk1_ref.shape)
     dlb1_ref[...] = dlb1g.reshape(dlb1_ref.shape)
@@ -635,7 +846,7 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     dvt_l, dlk0g, dlb0g = _lepe_windows_bwd(
         vt.reshape(G * nW, split, H, half),
         da0t.reshape(G * nW, split, H, half), lk0[...], swap=True)
-    dqt, dkt, dvt = _attn_windows_bwd(qt, kt, vt, da0t, h2, scale)
+    dqt, dkt, dvt = _attn_bwd_auto(qt, kt, vt, da0t, h2, scale)
     dvt = dvt + dvt_l.reshape(G * nW, split * H, half)
     dlk0_ref[...] = dlk0g.reshape(dlk0_ref.shape)
     dlb0_ref[...] = dlb0g.reshape(dlb0_ref.shape)

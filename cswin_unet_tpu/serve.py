@@ -127,38 +127,94 @@ class VolumeServer:
         }
 
 
+class ServeStats:
+    """Latency aggregation across volumes: p50/p95 of per-volume segment
+    and end-to-end latency, overall slice throughput (the SLO numbers a
+    deployment tracks)."""
+
+    def __init__(self):
+        self.seg_s: list[float] = []
+        self.total_s: list[float] = []
+        self.slices = 0
+        self.failed = 0
+
+    def record(self, stats: dict):
+        self.seg_s.append(stats["segment_s"])
+        self.total_s.append(stats["read_s"] + stats["segment_s"]
+                            + stats["write_s"])
+        self.slices += stats["slices"]
+
+    def summary(self) -> dict:
+        if not self.seg_s:
+            return {"volumes": 0, "failed": self.failed}
+        pct = lambda xs, q: round(float(np.percentile(xs, q)), 4)
+        return {
+            "volumes": len(self.seg_s),
+            "failed": self.failed,
+            "slices": self.slices,
+            "segment_p50_s": pct(self.seg_s, 50),
+            "segment_p95_s": pct(self.seg_s, 95),
+            "latency_p50_s": pct(self.total_s, 50),
+            "latency_p95_s": pct(self.total_s, 95),
+            "slices_per_s": round(self.slices / max(sum(self.seg_s), 1e-9), 2),
+        }
+
+
 def watch_loop(server: VolumeServer, watch_dir: str, output_dir: str, *,
                poll_s: float = 1.0, max_volumes: int | None = None,
                emit=print):
     """Poll ``watch_dir`` for volumes, process each, move it to done/.
 
+    A file is picked up only once QUIESCENT — its (size, mtime) unchanged
+    between two consecutive polls and non-empty — so a volume still being
+    copied in is left alone until fully written, not quarantined mid-write.
+    (Writers can also use the write-then-rename protocol: ``*.tmp`` names
+    are always ignored.)
+
     ``max_volumes`` bounds the number processed (tests / drain mode);
     None = run forever. A failed volume is moved to failed/ with the error
-    recorded, so one bad file cannot wedge the queue."""
+    recorded, so one bad file cannot wedge the queue. Returns the count
+    processed and emits a final p50/p95 latency summary line."""
     done_dir = os.path.join(watch_dir, "done")
     failed_dir = os.path.join(watch_dir, "failed")
     os.makedirs(done_dir, exist_ok=True)
     processed = 0
+    agg = ServeStats()
+    prev: dict[str, tuple] = {}
     while max_volumes is None or processed < max_volumes:
-        names = sorted(
-            n for n in os.listdir(watch_dir)
-            if n.endswith((".npy.h5", ".h5", ".npz", ".npy"))
-            and os.path.isfile(os.path.join(watch_dir, n))
-        )
-        if not names:
+        snap = {}
+        for n in sorted(os.listdir(watch_dir)):
+            if not n.endswith((".npy.h5", ".h5", ".npz", ".npy")):
+                continue
+            p = os.path.join(watch_dir, n)
+            if not os.path.isfile(p):
+                continue
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue  # renamed/removed between listdir and stat
+            snap[n] = (st.st_size, st.st_mtime)
+        ready = [n for n, sig in snap.items()
+                 if prev.get(n) == sig and sig[0] > 0]
+        prev = snap
+        if not ready:
             time.sleep(poll_s)
             continue
-        for name in names:
+        for name in ready:
             if max_volumes is not None and processed >= max_volumes:
                 break
             path = os.path.join(watch_dir, name)
             try:
                 stats = server.process_file(path, output_dir)
                 shutil.move(path, os.path.join(done_dir, name))
+                agg.record(stats)
                 emit(json.dumps(stats))
             except Exception as e:  # noqa: BLE001 — quarantine, keep serving
                 os.makedirs(failed_dir, exist_ok=True)
                 shutil.move(path, os.path.join(failed_dir, name))
+                agg.failed += 1
                 emit(json.dumps({"case": name, "error": str(e)[:200]}))
+            prev.pop(name, None)
             processed += 1
+    emit(json.dumps({"summary": agg.summary()}))
     return processed
