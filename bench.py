@@ -22,9 +22,11 @@ not a measurement — vs_baseline is quoted against it). The train baseline is
 the reference recipe's measured-class A100 bs-24 step (~1.4 it/s => ~34
 samples/s, same-class estimate).
 
-Modes: `python bench.py` runs all three; `python bench.py infer|train|infer384`
-runs one. Legacy positional form `bench.py <batch> <ka> <kb> [impl]` still
-works for kernel A/B comparisons.
+Modes: `python bench.py` runs all three plus the on-TPU kernel-parity check
+(`{"metric": "kernel_parity", "ok": ...}` — every fused kernel compiled on
+the real backend and diffed against its XLA composition);
+`python bench.py infer|train|infer384|check` runs one. Legacy positional
+form `bench.py <batch> <ka> <kb> [impl]` still works for kernel A/B.
 """
 
 import json
@@ -36,6 +38,11 @@ import numpy as np
 
 A100_BS1_BASELINE = 60.0  # slices/s, estimated reference pipeline (see above)
 A100_TRAIN_BASELINE = 34.0  # samples/s, estimated reference bs-24 train step
+
+# Every emitted vs_baseline is quoted against the ESTIMATES above — the
+# reference records no throughput anywhere (SURVEY.md §6). The label rides
+# in each JSON line so the artifact cannot be read as a measured ratio.
+BASELINE_LABEL = "estimated-a100 (reference records no throughput)"
 
 
 def _tiny(jnp, attn_impl="fused"):
@@ -123,6 +130,7 @@ def bench_infer(batch=128, chain_a=21, chain_b=41, attn_impl="fused",
                 "value": round(slices_per_sec, 2),
                 "unit": "slices/s",
                 "vs_baseline": round(slices_per_sec / baseline, 3),
+                "baseline": BASELINE_LABEL,
             }
         ),
         flush=True,
@@ -190,11 +198,128 @@ def bench_train(batch=24, chain_a=6, chain_b=16, attn_impl="fused"):
                 "value": round(samples_per_sec, 2),
                 "unit": "samples/s",
                 "vs_baseline": round(samples_per_sec / A100_TRAIN_BASELINE, 3),
+                "baseline": BASELINE_LABEL,
             }
         ),
         flush=True,
     )
     return samples_per_sec
+
+
+# (H, W, C, heads, split, last) — every geometry the fused block kernel
+# compiles for: tiny/224 stages 1-4 and base/384 stages 1-4.
+BLOCK_GEOMETRIES = {
+    "224-s1": (56, 56, 64, 2, 1, False),
+    "224-s2": (28, 28, 128, 4, 2, False),
+    "224-s3": (14, 14, 256, 8, 7, False),
+    "224-s4": (7, 7, 512, 16, 7, True),
+    "384-s1": (96, 96, 96, 4, 1, False),
+    "384-s2": (48, 48, 192, 8, 2, False),
+    "384-s3": (24, 24, 384, 16, 12, False),
+    "384-s4": (12, 12, 768, 32, 12, True),
+}
+
+
+def bench_check(batch=8, geometries=None):
+    """On-TPU kernel regression check: compile every fused kernel on the
+    real backend (Mosaic, NOT interpret mode) and compare against the XLA
+    composition at bf16 tolerance. The interpret-mode unit tests validate
+    the math; this validates the Mosaic LOWERING — the class of silent
+    breakage ROADMAP.md's landmine list documents. Prints one
+    {"metric": "kernel_parity", "ok": ...} line; exit code reflects it."""
+    import jax
+    import jax.numpy as jnp
+
+    from cswin_unet_tpu.ops.carafe import carafe, carafe_with_classifier
+    from cswin_unet_tpu.ops.pallas.carafe_tail import (carafe_fused_pallas,
+                                                       carafe_tail_pallas)
+    from cswin_unet_tpu.ops.pallas.cswin_block import (_fused_block_bwd_xt,
+                                                       _fused_block_fwd,
+                                                       composed_block)
+
+    rng = np.random.default_rng(0)
+    mk = lambda *s, sc=0.1: jnp.asarray(
+        rng.standard_normal(s).astype(np.float32) * sc)
+    failures = []
+    checks = 0
+
+    def close(name, got, want, tol):
+        nonlocal checks
+        checks += 1
+        got = np.asarray(got, np.float32)
+        want = np.asarray(want, np.float32)
+        err = float(np.linalg.norm(got - want)
+                    / max(float(np.linalg.norm(want)), 1e-12))
+        if not np.isfinite(err) or err > tol:
+            failures.append({"check": name, "rel_err": round(err, 6)})
+
+    def block_params(C, last):
+        cb_ = C if last else C // 2
+        return (mk(C, sc=0.3) + 1.0, mk(C), mk(C, 3 * C), mk(3 * C),
+                mk(3, 3, cb_), mk(cb_), mk(3, 3, cb_), mk(cb_),
+                mk(C, C), mk(C), mk(C, sc=0.3) + 1.0, mk(C),
+                mk(C, 4 * C), mk(4 * C), mk(4 * C, C), mk(C))
+
+    for name, (H, W, C, heads, split, last) in (geometries
+                                                or BLOCK_GEOMETRIES).items():
+        params = block_params(C, last)
+        scale = (C // heads) ** -0.5
+        x = mk(batch, H, W, C, sc=1.0).astype(jnp.bfloat16)
+        fused = jax.jit(lambda xx, pp: _fused_block_fwd(
+            xx, pp, H=H, W=W, C=C, heads=heads, split=split,
+            last_stage=last, scale=scale, qkv_bias=True))(x, params)
+        ref = jax.jit(lambda xx, pp: composed_block(
+            xx, pp, H, W, C, heads, split, last, scale, True))(x, params)
+        close(f"block_fwd:{name}", fused, ref, 0.02)
+        if not last:
+            dout = mk(batch, H, W, C, sc=1.0)
+            dxf, dpf, _ = jax.jit(lambda xx, pp, dd: _fused_block_bwd_xt(
+                xx, pp, None, dd, H=H, W=W, C=C, heads=heads, split=split,
+                scale=scale, qkv_bias=True))(x, params, dout)
+            _, vjp = jax.vjp(lambda xx, pp: composed_block(
+                xx, pp, H, W, C, heads, split, last, scale, True).astype(
+                    jnp.float32), x, params)
+            dxr, dpr = jax.jit(lambda: vjp(dout))()
+            close(f"block_bwd_dx:{name}", dxf, dxr, 0.02)
+            for i, (gf, gr) in enumerate(zip(dpf, dpr)):
+                close(f"block_bwd_dp{i}:{name}", gf, gr, 0.02)
+
+    # CARAFE4 + classifier tail at the tiny/224 shape (reso 56 -> 224, NC 9)
+    C, NC = 64, 9
+    tp = dict(down_kernel=mk(1, 1, C, C // 4), down_bias=mk(C // 4),
+              encoder_kernel=mk(3, 3, C // 4, 16 * 9), encoder_bias=mk(16 * 9),
+              out_kernel=mk(1, 1, C, C), out_bias=mk(C),
+              cls_kernel=mk(1, 1, C, NC))
+    xt = mk(2, 56, 56, C, sc=1.0).astype(jnp.bfloat16)
+    got = jax.jit(lambda xx: carafe_tail_pallas(
+        xx, tp["down_kernel"], tp["down_bias"], tp["encoder_kernel"],
+        tp["encoder_bias"], tp["out_kernel"], tp["out_bias"],
+        tp["cls_kernel"], up_factor=4))(xt)
+    want = jax.jit(lambda xx: carafe_with_classifier(
+        xx, **tp, kernel_size=3, up_factor=4))(xt)
+    close("carafe_tail@56", got, want, 0.02)
+
+    # Decoder CARAFE upsampler at the fused site (reso 28 -> 56, up 2)
+    C, CO = 256, 128
+    up = dict(down_kernel=mk(1, 1, C, C // 4), down_bias=mk(C // 4),
+              encoder_kernel=mk(3, 3, C // 4, 4 * 9), encoder_bias=mk(4 * 9),
+              out_kernel=mk(1, 1, C, CO), out_bias=mk(CO))
+    xu = mk(2, 28, 28, C, sc=1.0).astype(jnp.bfloat16)
+    got = jax.jit(lambda xx: carafe_fused_pallas(
+        xx, up["down_kernel"], up["down_bias"], up["encoder_kernel"],
+        up["encoder_bias"], up["out_kernel"], up["out_bias"],
+        up_factor=2))(xu)
+    want = jax.jit(lambda xx: carafe(
+        xx, **up, kernel_size=3, up_factor=2, impl="fast"))(xu)
+    close("carafe_up@28", got, want, 0.02)
+
+    ok = not failures
+    line = {"metric": "kernel_parity", "ok": ok, "checks": checks,
+            "backend": jax.default_backend()}
+    if failures:
+        line["failures"] = failures
+    print(json.dumps(line), flush=True)
+    return ok
 
 
 def _enable_compile_cache():
@@ -244,6 +369,10 @@ def main():
             metric="slices384_per_sec_per_chip",
             baseline=A100_BS1_BASELINE / 4.0,  # ~9.4x FLOPs, bs1 A100 est.
             model_fn=_base384, img=384))
+    if mode in ("all", "check"):
+        # Mosaic-lowering regression gate: compiles every fused kernel on
+        # the REAL backend and diffs against the XLA composition.
+        guarded("kernel_parity", bench_check)
 
 
 if __name__ == "__main__":
