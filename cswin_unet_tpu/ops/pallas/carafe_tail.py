@@ -49,26 +49,51 @@ def _shift2d(x, di, dj):
     return x
 
 
+def _shift2d_roll(x, di, dj):
+    """Zero-fill shift of (G, H, W, C) over (H, W) via circular
+    ``pltpu.roll`` + an iota validity mask — the 4-D pad+concat form
+    ``_shift2d`` uses blows up Mosaic compile time at G > 1 (ROADMAP
+    landmine list), while rolls are native. f32 only (bf16 dynamic
+    rotates don't lower); callers cast."""
+    G, H, W, C = x.shape
+    if di:
+        x = pltpu.roll(x, di % H, 1)
+    if dj:
+        x = pltpu.roll(x, dj % W, 2)
+    r = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    ok = ((r - di >= 0) & (r - di < H) & (c - dj >= 0) & (c - dj < W))
+    return x * ok.astype(x.dtype)[None, :, :, None]
+
+
 def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
             expand_sel, tile_sel, o_ref, *, H, W, C, NC, UP2, G):
     K2 = 9
     HW = H * W
+    # G == 1: bf16 pad+concat shifts (cheapest, proven). G > 1: f32
+    # roll+mask (concat landmine); shift inputs are cast to f32.
+    if G == 1:
+        shift = _shift2d
+        sdt = x_ref.dtype
+    else:
+        shift = _shift2d_roll
+        sdt = jnp.float32
 
     x2 = x_ref[...].reshape(G * HW, C)
 
     # --- kernel prediction (all G images jointly on the MXU) ---
     mid = jnp.dot(x2, wdown[...].astype(x2.dtype),
                   preferred_element_type=jnp.float32)
-    mid = (mid + bdown[...].astype(jnp.float32)).astype(x2.dtype)  # (GHW, C/4)
+    mid = (mid + bdown[...].astype(jnp.float32)).astype(sdt)  # (GHW, C/4)
     cm = mid.shape[-1]
     mid_img = mid.reshape(G, H, W, cm)
     # shift (di, dj) yields mid[r-di, c-dj], which the cross-correlation
     # pairs with weight row (1-di, 1-dj) — so iterate di,dj DESCENDING to
     # match wenc's row-major (a, b, c') reshape order.
     patches = jnp.concatenate(
-        [_shift2d(mid_img, di, dj) for di in (1, 0, -1) for dj in (1, 0, -1)],
+        [shift(mid_img, di, dj) for di in (1, 0, -1) for dj in (1, 0, -1)],
         -1,
-    ).reshape(G * HW, K2 * cm)
+    ).reshape(G * HW, K2 * cm).astype(x2.dtype)
     enc = jnp.dot(patches, wenc[...].astype(patches.dtype),
                   preferred_element_type=jnp.float32)
     enc = enc + benc[...].astype(jnp.float32)             # (GHW, k2*up2) f32
@@ -91,7 +116,7 @@ def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
 
     # --- classes before reassembly ---
     y9 = jnp.dot(x2, wy9[...].astype(x2.dtype),
-                 preferred_element_type=jnp.float32).astype(x2.dtype)
+                 preferred_element_type=jnp.float32).astype(sdt)
     y9 = y9.reshape(G, H, W, NC)
 
     # --- 9-tap reassembly on s-major (up²·NC) lanes: lane = s·NC + n.
@@ -105,7 +130,7 @@ def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
             # shifted[r,c] = y9[r-di, c-dj] pairs with reference tap
             # (1-di, 1-dj) (extract_patches_3x3 order, ops/carafe.py:42-46).
             tap = (1 - di) * 3 + (1 - dj)
-            ys = _shift2d(y9, di, dj)
+            ys = shift(y9, di, dj).astype(x2.dtype)
             src = jnp.dot(ys.reshape(G * HW, NC),
                           tile_sel[...].astype(ys.dtype),
                           preferred_element_type=jnp.float32)  # (GHW, UP2*NC)
@@ -127,10 +152,10 @@ def _sum_selector(k2: int, up2: int) -> np.ndarray:
     return sel
 
 
-@functools.partial(jax.jit, static_argnames=("up_factor",))
+@functools.partial(jax.jit, static_argnames=("up_factor", "g_images"))
 def carafe_fused_pallas(x, down_kernel, down_bias, encoder_kernel,
                         encoder_bias, out_kernel, out_bias, cls_kernel=None,
-                        *, up_factor=2):
+                        *, up_factor=2, g_images=None):
     """Whole-CARAFE fused kernel: (B, H, W, C) -> (B, up·H, up·W, NC).
 
     With ``cls_kernel`` the 1x1 classifier is folded into the hoisted
@@ -166,11 +191,21 @@ def carafe_fused_pallas(x, down_kernel, down_bias, encoder_kernel,
             tile[n, s * NC + n] = 1.0
     tile_sel = jnp.asarray(tile)
 
-    # One image per program: G > 1 requires 4-D shift concats, which hit a
-    # Mosaic compile-time blowup (kernel is written G-general for when that
-    # lifts). Per-program overhead therefore argues for the XLA path below
-    # ~28x28 — see CarafeUpsample's impl gating.
-    G = 1
+    # Images per program. Large-activation sites (>= 28x28) run G = 1 —
+    # one image already fills the MXU shapes. Small sites (14x14, 7x7)
+    # pack several images so the (G·HW, ·) dots amortize per-program
+    # overhead; their G > 1 shifts use roll+iota-mask (``_shift2d_roll``)
+    # because 4-D pad+concat shifts blow up Mosaic compile time there.
+    if g_images is not None:
+        G = g_images
+    elif H * W >= 28 * 28:
+        G = 1
+    else:
+        G = 1
+        while G * 2 <= 16 and B % (G * 2) == 0 and H * W * C * G * 2 <= 256 * 1024:
+            G *= 2
+    while B % G:
+        G //= 2
 
     full = lambda a: pl.BlockSpec(a.shape, lambda b: tuple(0 for _ in a.shape),
                                   memory_space=pltpu.VMEM)

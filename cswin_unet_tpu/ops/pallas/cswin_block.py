@@ -488,14 +488,21 @@ _HB_MODE = "auto"
 def _use_hb(L_merged: int, heads: int, d: int) -> bool:
     """Measured per-geometry routing between the per-head narrow dots
     (``_attn_windows``) and the head-block wide dots (``_attn_windows_hb``).
-    TPU chain timings (scripts/exp_hb.py, bs128): head-block wins wherever
-    >= 2 heads share a dot — the d=32 contraction starves the MXU and the
-    32-offset lane slices force Mosaic relayouts."""
-    if _hb_params(L_merged, heads, d) is None:
+
+    TPU chain timings (scripts/exp_hb.py, bs128, whole fused block):
+    stage 2 fwd 2.543 -> 2.434 ms, stage 3 fwd 1.791 -> 1.673 ms, but
+    stage 4 fwd 0.681 -> 0.728 ms and backwards are a wash (4.89 vs 4.92).
+    The block-diagonal tiling trades 4x MXU contraction width for 4x
+    FLOPs — net neutral on the dots — so the win is purely the avoided
+    lane relayouts, and it only materialises when ALL heads fit one
+    group (ng == 1); with ng > 1 (stage 4: 8 full-window heads, gh = 4)
+    the per-group K/V re-tiling loop eats the gain."""
+    hp = _hb_params(L_merged, heads, d)
+    if hp is None:
         return False
     if _HB_MODE != "auto":
         return _HB_MODE == "on"
-    return True
+    return hp[0] == heads  # ng == 1: every head rides the single wide dot
 
 
 def _attn_auto(q, k, v, heads, scale):

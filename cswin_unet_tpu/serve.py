@@ -161,27 +161,32 @@ class ServeStats:
 
 
 def watch_loop(server: VolumeServer, watch_dir: str, output_dir: str, *,
-               poll_s: float = 1.0, max_volumes: int | None = None,
-               emit=print):
+               poll_s: float = 1.0, quiesce_s: float | None = None,
+               max_volumes: int | None = None, emit=print):
     """Poll ``watch_dir`` for volumes, process each, move it to done/.
 
     A file is picked up only once QUIESCENT — its (size, mtime) unchanged
-    between two consecutive polls and non-empty — so a volume still being
-    copied in is left alone until fully written, not quarantined mid-write.
-    (Writers can also use the write-then-rename protocol: ``*.tmp`` names
-    are always ignored.)
+    for at least ``quiesce_s`` seconds (default ``max(2·poll_s, 0.25)``)
+    and non-empty — so a volume still being copied in is left alone until
+    fully written, not quarantined mid-write. A duration (not just
+    two-consecutive-polls) is required because a slow writer's inter-chunk
+    gap can straddle a whole poll interval. (Writers can also use the
+    write-then-rename protocol: ``*.tmp`` names are always ignored.)
 
     ``max_volumes`` bounds the number processed (tests / drain mode);
     None = run forever. A failed volume is moved to failed/ with the error
     recorded, so one bad file cannot wedge the queue. Returns the count
     processed and emits a final p50/p95 latency summary line."""
+    if quiesce_s is None:
+        quiesce_s = max(2 * poll_s, 0.25)
     done_dir = os.path.join(watch_dir, "done")
     failed_dir = os.path.join(watch_dir, "failed")
     os.makedirs(done_dir, exist_ok=True)
     processed = 0
     agg = ServeStats()
-    prev: dict[str, tuple] = {}
+    seen: dict[str, tuple] = {}  # name -> (sig, stable_since)
     while max_volumes is None or processed < max_volumes:
+        now = time.monotonic()
         snap = {}
         for n in sorted(os.listdir(watch_dir)):
             if not n.endswith((".npy.h5", ".h5", ".npz", ".npy")):
@@ -194,9 +199,14 @@ def watch_loop(server: VolumeServer, watch_dir: str, output_dir: str, *,
             except OSError:
                 continue  # renamed/removed between listdir and stat
             snap[n] = (st.st_size, st.st_mtime)
+        for n, sig in snap.items():
+            if n not in seen or seen[n][0] != sig:
+                seen[n] = (sig, now)
+        for n in list(seen):
+            if n not in snap:
+                del seen[n]
         ready = [n for n, sig in snap.items()
-                 if prev.get(n) == sig and sig[0] > 0]
-        prev = snap
+                 if sig[0] > 0 and now - seen[n][1] >= quiesce_s]
         if not ready:
             time.sleep(poll_s)
             continue
@@ -214,7 +224,7 @@ def watch_loop(server: VolumeServer, watch_dir: str, output_dir: str, *,
                 shutil.move(path, os.path.join(failed_dir, name))
                 agg.failed += 1
                 emit(json.dumps({"case": name, "error": str(e)[:200]}))
-            prev.pop(name, None)
+            seen.pop(name, None)
             processed += 1
     emit(json.dumps({"summary": agg.summary()}))
     return processed

@@ -41,6 +41,12 @@ GEOMETRIES = [
     (8, 8, 16, 2, 2, False, 1),   # sp>1: transposed-vertical windowing path
     (8, 8, 32, 4, 4, False, 2),   # G=2 images per program
     (4, 4, 32, 4, 4, True, 2),    # last-stage full window
+    # base-384 window patterns (stage resos 96/48/24/12, split 12): wide
+    # sp x 2sp stripes and the split == reso full window. C shrunk for
+    # interpret-mode speed; the EXACT 384 shapes run compiled on TPU in
+    # `bench.py check` (BLOCK_GEOMETRIES).
+    (24, 24, 32, 4, 12, False, 1),
+    (12, 12, 32, 4, 12, True, 1),
 ]
 
 

@@ -91,6 +91,47 @@ def test_watch_loop_drains_and_quarantines(server, tmp_path):
     assert any(s.get("case") == "good" for s in stats)
 
 
+def test_watch_loop_waits_for_slow_writer(server, tmp_path):
+    """A volume still being copied in (size growing across polls) must be
+    left alone until quiescent, then processed — not quarantined mid-write."""
+    import io
+    import threading
+    import time as _time
+
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    buf = io.BytesIO()
+    vol = np.random.default_rng(3).normal(size=(3, 48, 48)).astype(np.float32)
+    np.savez(buf, image=vol)
+    payload = buf.getvalue()
+    dest = watch / "slow.npz"
+
+    def writer():
+        step = max(1, len(payload) // 4)
+        with open(dest, "wb") as f:
+            for off in range(0, len(payload), step):
+                f.write(payload[off : off + step])
+                f.flush()
+                os.fsync(f.fileno())
+                _time.sleep(0.12)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    lines = []
+    n = watch_loop(server, str(watch), str(tmp_path / "out"),
+                   poll_s=0.05, max_volumes=1, emit=lines.append)
+    t.join()
+    assert n == 1
+    assert os.path.exists(watch / "done" / "slow.npz")
+    assert not os.path.exists(watch / "failed" / "slow.npz")
+    stats = [json.loads(l) for l in lines]
+    assert any(s.get("case") == "slow" for s in stats)
+    # final line is the latency aggregate (p50/p95 SLO numbers)
+    summary = stats[-1]["summary"]
+    assert summary["volumes"] == 1 and summary["failed"] == 0
+    assert summary["latency_p95_s"] >= summary["segment_p50_s"] > 0
+
+
 def test_inferencer_data_parallel_bit_equal():
     """Sharded eval over the 8-virtual-device mesh == single-device output."""
     from cswin_unet_tpu.eval.inference import VolumeInferencer
