@@ -338,14 +338,8 @@ def _attn_windows_hb(q, k, v, heads, scale, merge=None):
     ng = heads // gh
     Cg = gh * d
 
-    blk, smask, pad = _hb_masks(n, L, L0, Cg, d, gh, S, q.dtype)
-
-    def tile(t):
-        if pad is not None:
-            t = jnp.concatenate([t, pad], 1)
-        if gh > 1:
-            t = jnp.concatenate([t] * gh, 1)
-        return t * blk
+    blk, smask = _hb_masks(n, L, L0, Cg, d, gh, S, q.dtype)
+    tile = functools.partial(_hb_tile, gh=gh, S=S, blk=blk)
 
     outs = []
     for g in range(ng):
@@ -365,8 +359,8 @@ def _attn_windows_hb(q, k, v, heads, scale, merge=None):
 
 def _hb_masks(n, L, L0, Cg, d, gh, S, dtype):
     """Constant masks for head-block attention: the block-diagonal K/V
-    tiling keep-mask (gh·S, Cg), the additive -1e9 score mask (L, gh·S)
-    (padding + merged-window confinement), and the sublane zero-pad."""
+    tiling keep-mask (gh·S, Cg) and the additive -1e9 score mask
+    (L, gh·S) (padding + merged-window confinement)."""
     jj = jax.lax.broadcasted_iota(jnp.int32, (gh * S, Cg), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (gh * S, Cg), 1)
     blk = ((jj // S == cc // d) & (jj % S < L)).astype(dtype)
@@ -374,8 +368,23 @@ def _hb_masks(n, L, L0, Cg, d, gh, S, dtype):
     ci = jax.lax.broadcasted_iota(jnp.int32, (L, gh * S), 1)
     smask = jnp.where((ci % S < L) & (ri // L0 == (ci % S) // L0),
                       0.0, -1e9).astype(jnp.float32)
-    pad = jnp.zeros((n, S - L, Cg), dtype) if S > L else None
-    return blk, smask, pad
+    return blk, smask
+
+
+def _hb_tile(t, *, gh, S, blk):
+    """(n, L, Cg) -> block-diagonal (n, gh·S, Cg): sublane-pad to S, stack
+    gh copies, zero off the head-diagonal. The pad is DERIVED from ``t``
+    (``t[:, :k] * 0``) rather than a fresh ``jnp.zeros`` — concatenating a
+    freshly-materialized operand trips Mosaic's "result/input offset
+    mismatch on non-concat dimension" at some G (layout mismatch between
+    the zeros' natural layout and t's vpad-offset layout)."""
+    L = t.shape[1]
+    while t.shape[1] < S:
+        k = min(S - t.shape[1], L)
+        t = jnp.concatenate([t, t[:, :k] * 0], 1)
+    if gh > 1:
+        t = jnp.concatenate([t] * gh, 1)
+    return t * blk
 
 
 def _hb_softmax(s, gh, S):
@@ -408,15 +417,9 @@ def _attn_windows_bwd_hb(q, k, v, da, heads, scale, merge=None):
     ng = heads // gh
     Cg = gh * d
 
-    blk, smask, pad = _hb_masks(n, L, L0, Cg, d, gh, S, q.dtype)
+    blk, smask = _hb_masks(n, L, L0, Cg, d, gh, S, q.dtype)
     cc = jax.lax.broadcasted_iota(jnp.int32, (L, Cg), 1)
-
-    def tile(t):
-        if pad is not None:
-            t = jnp.concatenate([t, pad], 1)
-        if gh > 1:
-            t = jnp.concatenate([t] * gh, 1)
-        return t * blk
+    tile = functools.partial(_hb_tile, gh=gh, S=S, blk=blk)
 
     def untile(t_blk):
         # t_blk (n, gh·S, Cg) → (n, L, Cg): element (j, c) of the result
@@ -995,12 +998,21 @@ def _fused_block_bwd_xt(x, params, dps, dout, *, H, W, C, heads, split,
 
 def _default_g(B: int, H: int, W: int, C: int) -> int:
     """Images per grid program. Small-image stages (3/4) batch several
-    images so the per-op VPU/MXU shapes amortize fixed overhead; stage 1's
-    f32 working set already fills VMEM at G=1 (G=4 there benched SLOWER:
-    1704 vs 1773 slices/s). Sweep data: scripts/sweep_g.py."""
+    images so the window-batched dots and per-op VPU shapes amortize fixed
+    overhead; stage 1's f32 working set already fills VMEM at G=1 (G=4
+    there benched SLOWER: 1704 vs 1773 slices/s). The measured optimum
+    tracks G·tokens ~= 400 KB (scripts/exp_g.py fwd chains, bs128:
+    stage 3 G=4 1.157 / G=2 1.673 / G=8 1.428 ms; stage 4 G=8 0.578 /
+    G=4 0.681 ms) — beyond it VMEM pressure wins, below it per-program
+    overhead does. Large-reso stages have dozens of stripe windows per
+    image already (stage 2: 14, stage 1: 56) and measure FLAT or worse
+    at G>1 (stage 2 G=2: 2.487 vs 2.434 ms), so only small-window
+    stages (HW <= 14x14) pack images."""
+    if H * W > 196:
+        return 1
     tokens_bytes = H * W * C * 2  # bf16 activation block per image
     g = 1
-    while g * 2 <= 16 and B % (g * 2) == 0 and tokens_bytes * g * 2 <= 256 * 1024:
+    while g * 2 <= 16 and B % (g * 2) == 0 and tokens_bytes * g * 2 <= 512 * 1024:
         g *= 2
     return g
 
