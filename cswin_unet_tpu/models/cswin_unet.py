@@ -445,10 +445,13 @@ class CSWinUNet(nn.Module):
                     last_stage=is_last,
                 )(x)
             if s > 0:
-                # Small stages keep XLA: @7 breaks Mosaic's 49-row reshape
-                # and @14 the kernel's per-program overhead loses to XLA
-                # (0.95 vs 0.37 ms at bs128); @28 the kernel wins
-                # (1.95 vs 2.33 ms).
+                # Small stages keep XLA. The fused kernel is G-general
+                # (roll+mask shifts, carafe_tail.py) and parity-checked in
+                # interpret mode at G=4 @14/@7, but on real TPU the G>1
+                # Mosaic lowering still fails to compile, and XLA is already
+                # near-free at those sites anyway (0.257 ms @14, ~0 @7 at
+                # bs128 vs 0.95 ms for the G=1 kernel) — there is no win to
+                # chase. @28 the kernel wins (1.95 vs 2.33 ms) and is fused.
                 fuse_up = self.attn_impl == "fused" and resos[s] >= 28
                 x = CarafeUpsample(
                     dims[s], dims[s - 1], dtype=self.dtype,

@@ -164,9 +164,21 @@ def make_continual_loss(total_classes: int, old_classes: int, *, kd_weight: floa
     cw = jnp.asarray(class_weights)
 
     def loss_fn(logits, old_logits, mapped_labels):
-        l_ce = focal_loss(logits, mapped_labels, alpha=1.0, gamma=focal_gamma,
-                          class_weights=cw)
-        l_dice = dice_loss(logits, mapped_labels, total_classes)
+        # Focal and Dice share ONE class-major softmax pass (losses.py
+        # layout note); identical math to calling focal_loss + dice_loss.
+        from ..losses import (_class_major, _dice_from_probs_cm,
+                              _log_softmax_cm, _one_hot_cm)
+
+        labels_c = jnp.clip(mapped_labels, 0, total_classes - 1)
+        logp, probs = _log_softmax_cm(_class_major(logits))
+        onehot = _one_hot_cm(labels_c, total_classes)
+        ce = -jnp.sum(logp * onehot, axis=1)
+        w = jnp.sum(onehot * cw.reshape((1, -1) + (1,) * (ce.ndim - 1)), axis=1)
+        ce = jnp.nan_to_num(ce * w, nan=1e-6, posinf=10.0, neginf=1e-6)
+        focal = (1.0 - jnp.exp(-ce)) ** focal_gamma * ce
+        l_ce = jnp.mean(focal)
+        l_ce = jnp.where(jnp.isfinite(l_ce), l_ce, 1e-3)
+        l_dice = _dice_from_probs_cm(probs, onehot, total_classes, None)
         l_kd = kd_loss(logits[..., :old_classes], old_logits, kd_temperature)
         seg = 0.2 * l_ce + 0.8 * l_dice
         total = (1.0 - kd_weight) * seg + kd_weight * l_kd
