@@ -147,11 +147,10 @@ class CSWinBlock(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
 
-    def _fused(self, x, H, W, C, last, dps=None):
-        """Whole-block Pallas megakernel path. Param scopes/names/shapes are
-        identical to the composed path, so checkpoints are interchangeable.
-        ``dps``: per-sample drop-path multipliers for training."""
-        from ..ops.pallas.cswin_block import fused_cswin_block
+    def _collect(self, C, last):
+        """Create/collect this block's params in the fused-kernel 16-tuple
+        layout. Param scopes/names/shapes are identical to the composed
+        path, so checkpoints are interchangeable. Returns (params, scale)."""
         from .initializers import torch_conv_bias as _tcb, torch_conv_kernel as _tck
 
         ones, zeros = nn.initializers.ones, nn.initializers.zeros
@@ -190,18 +189,33 @@ class CSWinBlock(nn.Module):
             lk0.reshape(3, 3, cb), lb0, lk1.reshape(3, 3, cb), lb1,
             projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
         )
+        return params, scale
+
+    def _fused(self, x, H, W, C, last, dps=None):
+        """Whole-block Pallas megakernel path. ``dps``: per-sample drop-path
+        multipliers for training."""
+        from ..ops.pallas.cswin_block import fused_cswin_block
+
+        params, scale = self._collect(C, last)
         return fused_cswin_block(
             x.astype(self.dtype), params, dps, H, W, C, self.num_heads,
             self.split_size, last, scale, self.qkv_bias,
         )
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         deterministic = self.deterministic
         H, W = self.reso
         B = x.shape[0]
         C = self.dim
         last = self.last_stage or (H == self.split_size and W == self.split_size)
+
+        if return_params:
+            # Pair-fusion path: the parent stage loop collects two adjacent
+            # blocks' params and runs them through ONE pallas_call
+            # (_fused_block_pair_fwd). Params are created in the exact same
+            # scopes as every other path.
+            return self._collect(C, last)
 
         if self.attn_impl == "fused" and deterministic:
             return self._fused(x, H, W, C, last)
@@ -392,6 +406,44 @@ class CSWinUNet(nn.Module):
             name=name,
         )
 
+    def _run_stage(self, x, s, *, prefix, dims, resos, dpr, off, n_blocks,
+                   deterministic, is_last):
+        """Run a stage's blocks, fusing ADJACENT PAIRS into one pallas_call
+        where measured to win (small-reso stages at inference; see
+        ops.pallas.cswin_block._pair_fuse_ok). Param tree is identical —
+        pairing only changes how the already-collected params are consumed."""
+        from ..ops.pallas.cswin_block import (_fused_block_pair_fwd,
+                                              _pair_fuse_ok)
+
+        reso, C = resos[s], dims[s]
+        pair_ok = (self.attn_impl == "fused" and deterministic and not is_last
+                   and reso != self.split_size[s]
+                   and _pair_fuse_ok(reso, reso, C))
+        i = 0
+        while i < n_blocks:
+            blk = self._block(
+                s, off + i, dim=C, reso=reso, dpr=dpr,
+                name=f"{prefix}_{i}", deterministic=deterministic,
+                last_stage=is_last,
+            )
+            if pair_ok and i + 1 < n_blocks:
+                blk2 = self._block(
+                    s, off + i + 1, dim=C, reso=reso, dpr=dpr,
+                    name=f"{prefix}_{i + 1}", deterministic=deterministic,
+                    last_stage=is_last,
+                )
+                p1, scale = blk(x, return_params=True)
+                p2, _ = blk2(x, return_params=True)
+                x = _fused_block_pair_fwd(
+                    x.astype(self.dtype), p1, p2, H=reso, W=reso, C=C,
+                    heads=self.num_heads[s], split=self.split_size[s],
+                    scale=scale, qkv_bias=self.qkv_bias)
+                i += 2
+            else:
+                x = blk(x)
+                i += 1
+        return x
+
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         assert x.shape[-1] == self.in_chans, (
@@ -424,12 +476,10 @@ class CSWinUNet(nn.Module):
         skips = []
         for s in range(4):
             is_last = s == 3
-            for i in range(depth[s]):
-                x = self._block(
-                    s, int(offs[s]) + i, dim=dims[s], reso=resos[s], dpr=dpr,
-                    name=f"stage{s + 1}_{i}", deterministic=deterministic,
-                    last_stage=is_last,
-                )(x)
+            x = self._run_stage(
+                x, s, prefix=f"stage{s + 1}", dims=dims, resos=resos, dpr=dpr,
+                off=int(offs[s]), n_blocks=depth[s],
+                deterministic=deterministic, is_last=is_last)
             if not is_last:
                 skips.append(x)
                 x = MergeBlock(dims[s + 1], dtype=self.dtype, name=f"merge{s + 1}")(x)
@@ -438,12 +488,10 @@ class CSWinUNet(nn.Module):
         # --- Decoder -------------------------------------------------------
         for s in range(3, -1, -1):
             is_last = s == 3
-            for i in range(depth[s]):
-                x = self._block(
-                    s, int(offs[s]) + i, dim=dims[s], reso=resos[s], dpr=dpr,
-                    name=f"stage_up{s + 1}_{i}", deterministic=deterministic,
-                    last_stage=is_last,
-                )(x)
+            x = self._run_stage(
+                x, s, prefix=f"stage_up{s + 1}", dims=dims, resos=resos,
+                dpr=dpr, off=int(offs[s]), n_blocks=depth[s],
+                deterministic=deterministic, is_last=is_last)
             if s > 0:
                 # Small stages keep XLA. The fused kernel is G-general
                 # (roll+mask shifts, carafe_tail.py) and parity-checked in

@@ -603,26 +603,24 @@ def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
     return (out.astype(jnp.float32) + lepe).astype(q.dtype)
 
 
-def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
-                     lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
-                     fc1k, fc1b, fc2k, fc2b, dp0, dp1, o_ref, *,
-                     H, W, C, heads, split, scale, qkv_bias, G, droppath):
-    """Dual-branch block with the vertical branch computed ENTIRELY in the
-    transposed layout: the kernel receives xᵀ (transposed by XLA in HBM —
-    far cheaper than Mosaic's in-VMEM transposes) plus the vertical half's
-    qkv weight columns, and performs exactly ONE in-kernel transpose (the
-    branch output) instead of four."""
+def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
+                   G, droppath):
+    """Dual-branch block math on VALUES (refs already read), with the
+    vertical branch computed ENTIRELY in the transposed layout: ``xt`` holds
+    the transposed-image rows, ``P`` the vertical half's qkv weight columns
+    split out, and exactly ONE in-kernel transpose runs (the branch output).
+    x: (G·H·W, C) rows; xt: (G·W·H, C). Returns the block output rows."""
+    (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
+     projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b) = P
     half = C // 2
     h2 = heads // 2
     nW = W // split
 
-    x = x_ref[...].reshape(G * H * W, C)
-    xn = _layernorm(x, n1s[...], n1b[...])
-    qkv_h = _dot(xn, wqkv_h[...], bqkv_h[...] if qkv_bias else None)
+    xn = _layernorm(x, n1s, n1b)
+    qkv_h = _dot(xn, wqkv_h, bqkv_h if qkv_bias else None)
 
-    xt = xt_ref[...].reshape(G * W * H, C)
-    xtn = _layernorm(xt, n1s[...], n1b[...])
-    qkv_v = _dot(xtn, wqkv_v[...], bqkv_v[...] if qkv_bias else None)
+    xtn = _layernorm(xt, n1s, n1b)
+    qkv_v = _dot(xtn, wqkv_v, bqkv_v if qkv_bias else None)
 
     # Vertical branch: (H, split) windows of the image are (split, H) row
     # bands of the transposed image — pure sublane reshapes, no transpose.
@@ -630,8 +628,8 @@ def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
     kt = qkv_v[:, half : 2 * half].reshape(G * nW, split * H, half)
     vt = qkv_v[:, 2 * half :].reshape(G * nW, split * H, half)
     a0t = _attn_auto(qt, kt, vt, h2, scale)
-    lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0[...],
-                          lb0[...], swap=True)
+    lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0,
+                          lb0, swap=True)
     a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
     a0t = a0t.astype(x.dtype).reshape(G, W, H, half)
     a0 = a0t.transpose(0, 2, 1, 3)  # the single in-kernel transpose
@@ -640,28 +638,65 @@ def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
     q = qkv_h[:, :half].reshape(G, H, W, half)
     k = qkv_h[:, half : 2 * half].reshape(G, H, W, half)
     v = qkv_h[:, 2 * half :].reshape(G, H, W, half)
-    a1 = _branch_horizontal(q, k, v, lk1[...], lb1[...],
+    a1 = _branch_horizontal(q, k, v, lk1, lb1,
                             H=H, W=W, sp=split, heads=h2, scale=scale)
 
     att = jnp.concatenate([a0, a1], -1).reshape(G * H * W, C)
-    att = _dot(att, projk[...], projb[...])
+    att = _dot(att, projk, projb)
     if droppath:
         # timm DropPath: per-sample binary keep mask pre-scaled by 1/(1-p)
-        att = (att.reshape(G, H * W, C) * dp0[...].astype(att.dtype)
+        att = (att.reshape(G, H * W, C) * dp[0].astype(att.dtype)
                ).reshape(G * H * W, C)
     x = x + att
 
-    y = _layernorm(x, n2s[...], n2b[...])
-    y = _dot(y, fc1k[...], fc1b[...])
+    y = _layernorm(x, n2s, n2b)
+    y = _dot(y, fc1k, fc1b)
     yf = y.astype(jnp.float32)
     y = (yf * 0.5 * (1.0 + _erf(yf * (2.0**-0.5)))).astype(y.dtype)
-    y = _dot(y, fc2k[...], fc2b[...])
+    y = _dot(y, fc2k, fc2b)
     if droppath:
-        y = (y.reshape(G, H * W, C) * dp1[...].astype(y.dtype)
+        y = (y.reshape(G, H * W, C) * dp[1].astype(y.dtype)
              ).reshape(G * H * W, C)
-    x = x + y
+    return x + y
 
+
+def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
+                     lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
+                     fc1k, fc1b, fc2k, fc2b, dp0, dp1, o_ref, *,
+                     H, W, C, heads, split, scale, qkv_bias, G, droppath):
+    """Single dual-branch block kernel: reads refs, runs ``_block_body_xt``."""
+    P = tuple(r[...] for r in (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
+                               lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
+                               fc1k, fc1b, fc2k, fc2b))
+    x = _block_body_xt(
+        x_ref[...].reshape(G * H * W, C), xt_ref[...].reshape(G * W * H, C),
+        P, (dp0[...], dp1[...]), H=H, W=W, C=C, heads=heads, split=split,
+        scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath)
     o_ref[...] = x.reshape(G, H, W, C)
+
+
+def _block_pair_kernel_xt(*refs, H, W, C, heads, split, scale, qkv_bias, G):
+    """TWO consecutive same-geometry blocks in one pallas_call (inference).
+
+    The stage-3 ablation (scripts/exp_ablate3.py) showed the 14x14 block is
+    bound by per-call fixed cost, not by removable math — zeroing the
+    attention or LePE changes nothing outside noise. Fusing block pairs
+    halves the number of calls: the intermediate x never round-trips HBM,
+    and the second block's transposed image is ONE in-kernel (G,H,W,C)
+    dim-1/2 transpose (the same op class the vertical branch already uses).
+    refs: x, xt, 18 params of block 1, 18 of block 2, out."""
+    x_ref, xt_ref = refs[0], refs[1]
+    o_ref = refs[-1]
+    P1 = tuple(r[...] for r in refs[2:20])
+    P2 = tuple(r[...] for r in refs[20:38])
+    kw = dict(H=H, W=W, C=C, heads=heads, split=split, scale=scale,
+              qkv_bias=qkv_bias, G=G, droppath=False)
+    x1 = _block_body_xt(x_ref[...].reshape(G * H * W, C),
+                        xt_ref[...].reshape(G * W * H, C), P1, None, **kw)
+    x1t = (x1.reshape(G, H, W, C).transpose(0, 2, 1, 3)
+           .reshape(G * W * H, C))
+    x2 = _block_body_xt(x1, x1t, P2, None, **kw)
+    o_ref[...] = x2.reshape(G, H, W, C)
 
 
 def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
@@ -906,19 +941,11 @@ def _fused_block_bwd_xt(x, params, dps, dout, *, H, W, C, heads, split,
     hidden = fc1k.shape[-1]
 
     xt = x.transpose(0, 2, 1, 3)
-    wqkv_v = jnp.concatenate(
-        [qkvk[:, :half], qkvk[:, C : C + half], qkvk[:, 2 * C : 2 * C + half]], 1)
-    bqkv_v = jnp.concatenate(
-        [qkvb[:half], qkvb[C : C + half], qkvb[2 * C : 2 * C + half]])
-    wqkv_h = jnp.concatenate(
-        [qkvk[:, half : C], qkvk[:, C + half : 2 * C], qkvk[:, 2 * C + half :]], 1)
-    bqkv_h = jnp.concatenate(
-        [qkvb[half : C], qkvb[C + half : 2 * C], qkvb[2 * C + half :]])
+    xtp = _xt_kernel_params(params, C)
+    wqkv_h, wqkv_v = xtp[2], xtp[4]
     # Pre-transposed weights for the dX dots: one XLA HBM transpose beats a
     # per-program Mosaic relayout (NP of them).
-    kparams = (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
-               projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b,
-               wqkv_h.T, wqkv_v.T, projk.T, fc1k.T, fc2k.T)
+    kparams = xtp + (wqkv_h.T, wqkv_v.T, projk.T, fc1k.T, fc2k.T)
 
     full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
                                       memory_space=pltpu.VMEM)
@@ -996,6 +1023,77 @@ def _fused_block_bwd_xt(x, params, dps, dout, *, H, W, C, heads, split,
     return dx.astype(x.dtype), dparams, ddps
 
 
+def _xt_kernel_params(params, C):
+    """16-tuple model params -> the 18-tuple xt-kernel layout: the joint qkv
+    weight's columns split into the horizontal/vertical branch halves
+    (each [q-half | k-half | v-half]) so each branch runs ONE narrow dot on
+    its own layout of x."""
+    (n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1, projk, projb,
+     n2s, n2b, fc1k, fc1b, fc2k, fc2b) = params
+    half = C // 2
+    wqkv_v = jnp.concatenate(
+        [qkvk[:, :half], qkvk[:, C : C + half], qkvk[:, 2 * C : 2 * C + half]], 1)
+    bqkv_v = jnp.concatenate(
+        [qkvb[:half], qkvb[C : C + half], qkvb[2 * C : 2 * C + half]])
+    wqkv_h = jnp.concatenate(
+        [qkvk[:, half : C], qkvk[:, C + half : 2 * C], qkvk[:, 2 * C + half :]], 1)
+    bqkv_h = jnp.concatenate(
+        [qkvb[half : C], qkvb[C + half : 2 * C], qkvb[2 * C + half :]])
+    return (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
+            projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b)
+
+
+def _pair_fuse_ok(H: int, W: int, C: int) -> bool:
+    """Measured routing for the inference pair kernel: currently OFF
+    everywhere. scripts/exp_pair.py bs128 chain timings measured the pair
+    kernel LOSING to two single-block calls (stage 3: 2.446 vs 2.317 ms;
+    stage 2: 4.761 vs 4.328) — the per-block cost is not dispatch/HBM
+    round-trip but in-kernel scheduling, so doubling the kernel body only
+    adds the intermediate transpose. Kept (with interpret-mode parity
+    coverage) as the measured negative result; flip per-geometry if a
+    future Mosaic improves big-kernel scheduling."""
+    return False
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("H", "W", "C", "heads", "split", "scale", "qkv_bias",
+                     "g_images"),
+)
+def _fused_block_pair_fwd(x, params1, params2, *, H, W, C, heads, split,
+                          scale, qkv_bias, g_images=None):
+    """TWO consecutive same-geometry dual-branch blocks in ONE pallas_call
+    (inference path — no drop-path). See ``_block_pair_kernel_xt``."""
+    B = x.shape[0]
+    G = g_images if g_images is not None else _default_g(B, H, W, C)
+    while B % G:
+        G //= 2
+
+    xt = x.transpose(0, 2, 1, 3)
+    kp1 = _xt_kernel_params(params1, C)
+    kp2 = _xt_kernel_params(params2, C)
+
+    full = lambda shape: pl.BlockSpec(shape, lambda b: tuple(0 for _ in shape),
+                                      memory_space=pltpu.VMEM)
+    x_spec = pl.BlockSpec((G, H, W, C), lambda b: (b, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    xt_spec = pl.BlockSpec((G, W, H, C), lambda b: (b, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _block_pair_kernel_xt, H=H, W=W, C=C, heads=heads, split=split,
+        scale=scale, qkv_bias=qkv_bias, G=G,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(B // G,),
+        in_specs=[x_spec, xt_spec] + [full(p.shape) for p in kp1 + kp2],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(x, xt, *kp1, *kp2)
+
+
 def _default_g(B: int, H: int, W: int, C: int) -> int:
     """Images per grid program. Small-image stages (3/4) batch several
     images so the window-batched dots and per-op VPU shapes amortize fixed
@@ -1057,18 +1155,8 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
     )
 
     if use_xt and not last_stage:
-        half = C // 2
         xt = x.transpose(0, 2, 1, 3)  # XLA HBM transpose, fuses upstream
-        wqkv_v = jnp.concatenate(
-            [qkvk[:, :half], qkvk[:, C : C + half], qkvk[:, 2 * C : 2 * C + half]], 1)
-        bqkv_v = jnp.concatenate(
-            [qkvb[:half], qkvb[C : C + half], qkvb[2 * C : 2 * C + half]])
-        wqkv_h = jnp.concatenate(
-            [qkvk[:, half : C], qkvk[:, C + half : 2 * C], qkvk[:, 2 * C + half :]], 1)
-        bqkv_h = jnp.concatenate(
-            [qkvb[half : C], qkvb[C + half : 2 * C], qkvb[2 * C + half :]])
-        xt_params = (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0,
-                     lk1, lb1, projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b)
+        xt_params = _xt_kernel_params(params, C)
         xt_spec = pl.BlockSpec((G, W, H, C), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         kern = functools.partial(

@@ -70,6 +70,31 @@ def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt):
     )
 
 
+@pytest.mark.parametrize("H,W,C,heads,split,g", [
+    (8, 8, 16, 2, 2, 1),
+    (8, 8, 32, 4, 4, 2),
+])
+def test_fused_block_pair_matches_two_composed(H, W, C, heads, split, g):
+    """Pair kernel (two blocks per pallas_call) == composing the two blocks.
+    Routing keeps it OFF (measured slower on TPU, see _pair_fuse_ok), but
+    the kernel stays parity-covered."""
+    from cswin_unet_tpu.ops.pallas.cswin_block import _fused_block_pair_fwd
+
+    rng = np.random.default_rng(11)
+    p1, p2 = _params(rng, C, C // 2), _params(rng, C, C // 2)
+    B = 2 * g
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    got = _fused_block_pair_fwd(
+        x, p1, p2, H=H, W=W, C=C, heads=heads, split=split, scale=scale,
+        qkv_bias=True, g_images=g)
+    want = composed_block(
+        composed_block(x, p1, H, W, C, heads, split, False, scale, True),
+        p2, H, W, C, heads, split, False, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-5, atol=5e-5)
+
+
 def test_fused_block_bf16_close():
     """bf16 activations: fused and composed agree to bf16 resolution."""
     H, W, C, heads, split = 8, 8, 16, 2, 2
