@@ -149,14 +149,20 @@ def _lepe_windows(vw, lk, lb, swap=False):
     in transposed image coordinates."""
     n, sp_h, sp_w, c = vw.shape
     if sp_h == 1:
-        vf = vw.reshape(n, sp_w, c).astype(jnp.float32)
-        col = jax.lax.broadcasted_iota(jnp.int32, (n, sp_w), 1)
-        acc = jnp.zeros((n, sp_w, c), jnp.float32)
-        for dj in (-1, 0, 1):
-            s = pltpu.roll(vf, dj % sp_w, 1) if dj else vf
-            ok = ((col - dj >= 0) & (col - dj < sp_w)).astype(jnp.float32)
+        # 3-tap row conv via SUBLANE concat shifts on the 3-D view (no unit
+        # dim next to the tiled dims, so Mosaic's concat lowering applies):
+        # stays in the activation dtype — the f32 roll + iota-mask variant
+        # this replaces paid an f32 upcast and two mask multiplies per tap.
+        # Boundary pad is DERIVED from the source (v3[:, :1] * 0), the
+        # layout-match trick _hb_tile documents.
+        v3 = vw.reshape(n, sp_w, c)
+        acc = (v3.astype(jnp.float32)
+               * lk[1, 1].astype(jnp.float32))
+        for dj in (-1, 1):
             tap = lk[1 - dj, 1] if swap else lk[1, 1 - dj]
-            acc += s * ok[..., None] * tap.astype(jnp.float32)
+            s = (jnp.concatenate([v3[:, :1] * 0, v3[:, :-1]], 1) if dj > 0
+                 else jnp.concatenate([v3[:, 1:], v3[:, :1] * 0], 1))
+            acc += s.astype(jnp.float32) * tap.astype(jnp.float32)
         return (acc + lb.astype(jnp.float32)).reshape(vw.shape)
     acc = jnp.zeros(vw.shape, jnp.float32)
     for di in (-1, 0, 1):
@@ -603,6 +609,12 @@ def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
     return (out.astype(jnp.float32) + lepe).astype(q.dtype)
 
 
+# Ablation-only switch (scripts/exp_t.py): replace the vertical-branch
+# output transpose with identity (wrong math, identical shapes) to price
+# the in-kernel transpose. Never set in production.
+_ABLATE_SKIP_VT = False
+
+
 def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
                    G, droppath):
     """Dual-branch block math on VALUES (refs already read), with the
@@ -632,7 +644,10 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
                           lb0, swap=True)
     a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
     a0t = a0t.astype(x.dtype).reshape(G, W, H, half)
-    a0 = a0t.transpose(0, 2, 1, 3)  # the single in-kernel transpose
+    if _ABLATE_SKIP_VT and H == W:
+        a0 = a0t  # ablation only: wrong math, same shapes/op-mix
+    else:
+        a0 = a0t.transpose(0, 2, 1, 3)  # the single in-kernel transpose
 
     # Horizontal branch: (split, W) windows are row bands of the image.
     q = qkv_h[:, :half].reshape(G, H, W, half)
