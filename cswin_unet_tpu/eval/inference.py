@@ -121,6 +121,27 @@ class VolumeInferencer:
             drain(item)
         return out
 
+    def predict_slices_device(self, slices: np.ndarray) -> "jnp.ndarray":
+        """(N, H, W) float32 -> (N, H, W) int32 predictions kept ON DEVICE
+        (for the device-metrics path: no D2H pull of the volume)."""
+        n = slices.shape[0]
+        x = slices[..., None]
+        parts = []
+        start = 0
+        while start < n:
+            real = min(self.batch, n - start)
+            size = next(b for b in self._buckets if b >= real)
+            chunk = x[start : start + real]
+            if real < size:
+                pad = np.repeat(chunk[-1:], size - real, axis=0)
+                chunk = np.concatenate([chunk, pad], axis=0)
+            dev = jnp.asarray(chunk)
+            if self._in_sharding is not None:
+                dev = jax.device_put(dev, self._in_sharding)
+            parts.append(self._fn(self.params, dev)[:real])
+            start += real
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
 
 def test_single_volume(
     image: np.ndarray,
@@ -131,10 +152,20 @@ def test_single_volume(
     test_save_path: str | None = None,
     case: str | None = None,
     z_spacing: int = 1,
+    device_metrics: bool = False,
 ):
     """Segment one volume and compute per-class (dice, hd95).
 
     image/label: (D, H, W) numpy (or (H, W) single slice).
+
+    ``device_metrics`` keeps the whole tail on device: predictions never
+    leave HBM — the inverse zoom is the scipy-parity nearest gather
+    (ops/edt.zoom_nearest) and (dice, hd95) come from the Pallas EDT
+    (ops/edt.volume_metrics_device); only the (C-1, 2) metric array is
+    pulled. Volumes are depth-padded to buckets of 16 so recompiles are
+    per-bucket, not per-case (all-background padded slices are exact:
+    they add no class voxels and no boundary). Falls back to the host
+    path for 2D inputs (2D boundary semantics) and when saving NIfTI.
     """
     image = np.asarray(image)
     label = np.asarray(label)
@@ -145,6 +176,34 @@ def test_single_volume(
     x, y = image.shape[1], image.shape[2]
     ph, pw = patch_size
     needs_zoom = (x, y) != (ph, pw)
+
+    if device_metrics and not single and test_save_path is None:
+        from ..ops import edt as edt_ops
+
+        if needs_zoom:
+            with ThreadPoolExecutor(8) as pool:
+                slices = np.stack(
+                    list(pool.map(
+                        lambda s: nd_zoom(s, (ph / x, pw / y), order=3), image
+                    ))
+                ).astype(np.float32)
+        else:
+            slices = image.astype(np.float32)
+        preds_dev = inferencer.predict_slices_device(slices)
+        if needs_zoom:
+            preds_dev = edt_ops.zoom_nearest(preds_dev, (x, y))
+        d = preds_dev.shape[0]
+        d_pad = (-d) % 16
+        if d_pad:
+            z = jnp.zeros((d_pad,) + preds_dev.shape[1:], preds_dev.dtype)
+            preds_dev = jnp.concatenate([preds_dev, z], axis=0)
+            lab = np.concatenate(
+                [label, np.zeros((d_pad,) + label.shape[1:], label.dtype)], 0)
+        else:
+            lab = label
+        metrics = np.asarray(edt_ops.volume_metrics_device(
+            preds_dev, jnp.asarray(lab.astype(np.int32)), classes))
+        return [tuple(row) for row in metrics]
 
     with ThreadPoolExecutor(8) as pool:
         if needs_zoom:

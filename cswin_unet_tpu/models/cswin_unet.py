@@ -127,6 +127,15 @@ class _MlpParams(nn.Module):
         return fc1 + fc2
 
 
+# Minimum reso routed through the fused fwd+bwd kernel pair when TRAINING
+# (measured per geometry — see the routing comment in CSWinBlock.__call__).
+# Module-level so experiments (scripts/exp_train_route.py) can A/B it.
+# Re-measured round 3 WITH the head-block attention backward and bf16
+# LePE: full bs-24 step 45.45 ms at 28 vs 48.82 ms routing the 18 stage-3
+# blocks fused — replay still wins at 14x14; keep 28.
+_FUSE_TRAIN_MIN_RESO = 28
+
+
 class CSWinBlock(nn.Module):
     """LN -> joint qkv -> two half-channel stripe branches (or one full-window
     branch in the last stage) -> proj -> residual; LN -> MLP -> residual.
@@ -226,7 +235,8 @@ class CSWinBlock(nn.Module):
         # + composed-replay (stage 3: 4.1 vs 4.75), so those blocks train
         # through the plain XLA composition below.
         fuse_train = (self.attn_impl == "fused" and self.drop == 0.0
-                      and self.attn_drop == 0.0 and not last and H >= 28)
+                      and self.attn_drop == 0.0 and not last
+                      and H >= _FUSE_TRAIN_MIN_RESO)
         if fuse_train:
             # Fused forward with per-sample drop-path masks as kernel inputs
             # (timm DropPath semantics — binary keep mask scaled by 1/(1-p));

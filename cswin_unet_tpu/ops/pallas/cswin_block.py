@@ -579,6 +579,8 @@ def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
 
     vw = win(v)
     out = _attn_auto(win(q), win(k), vw, heads, scale)
+    if _ABLATE_NO_LEPE_H:
+        return out.reshape(G, H, W, C2)
     lepe = _lepe_windows(vw.reshape(G * nH, sp, W, C2), lk, lb)
     out = (out.reshape(G * nH, sp, W, C2).astype(jnp.float32) + lepe)
     return out.astype(q.dtype).reshape(G, H, W, C2)
@@ -613,6 +615,13 @@ def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
 # output transpose with identity (wrong math, identical shapes) to price
 # the in-kernel transpose. Never set in production.
 _ABLATE_SKIP_VT = False
+# Ablation-only switches (scripts/exp_h.py): skip the horizontal branch
+# (reuse a0 — wrong math, same shapes) / zero out LePE in either branch,
+# to price each sub-computation in the full-kernel context. Never set in
+# production.
+_ABLATE_SKIP_H = False
+_ABLATE_NO_LEPE_H = False
+_ABLATE_NO_LEPE_V = False
 
 
 def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
@@ -640,21 +649,26 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     kt = qkv_v[:, half : 2 * half].reshape(G * nW, split * H, half)
     vt = qkv_v[:, 2 * half :].reshape(G * nW, split * H, half)
     a0t = _attn_auto(qt, kt, vt, h2, scale)
-    lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0,
-                          lb0, swap=True)
-    a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
-    a0t = a0t.astype(x.dtype).reshape(G, W, H, half)
+    if not _ABLATE_NO_LEPE_V:
+        lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0,
+                              lb0, swap=True)
+        a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32)
+               + lepe0).astype(x.dtype)
+    a0t = a0t.reshape(G, W, H, half)
     if _ABLATE_SKIP_VT and H == W:
         a0 = a0t  # ablation only: wrong math, same shapes/op-mix
     else:
         a0 = a0t.transpose(0, 2, 1, 3)  # the single in-kernel transpose
 
     # Horizontal branch: (split, W) windows are row bands of the image.
-    q = qkv_h[:, :half].reshape(G, H, W, half)
-    k = qkv_h[:, half : 2 * half].reshape(G, H, W, half)
-    v = qkv_h[:, 2 * half :].reshape(G, H, W, half)
-    a1 = _branch_horizontal(q, k, v, lk1, lb1,
-                            H=H, W=W, sp=split, heads=h2, scale=scale)
+    if _ABLATE_SKIP_H:
+        a1 = a0  # ablation only: wrong math, same shapes/op-mix
+    else:
+        q = qkv_h[:, :half].reshape(G, H, W, half)
+        k = qkv_h[:, half : 2 * half].reshape(G, H, W, half)
+        v = qkv_h[:, 2 * half :].reshape(G, H, W, half)
+        a1 = _branch_horizontal(q, k, v, lk1, lb1,
+                                H=H, W=W, sp=split, heads=h2, scale=scale)
 
     att = jnp.concatenate([a0, a1], -1).reshape(G * H * W, C)
     att = _dot(att, projk, projb)

@@ -94,3 +94,21 @@ def test_inference_padding_consistency(synth):
     p1 = VolumeInferencer(model, params, patch_size=(32, 32), batch_slices=3).predict_slices(slices)
     p2 = VolumeInferencer(model, params, patch_size=(32, 32), batch_slices=8).predict_slices(slices)
     np.testing.assert_array_equal(p1, p2)
+
+
+def test_device_metrics_match_host(synth):
+    """test_single_volume(device_metrics=True) — the Pallas-EDT on-device
+    tail (predict on device -> nearest zoom -> volume_metrics_device) must
+    reproduce the host path (scipy zoom + metrics.py EDT) bit-for-bit on
+    the same predictions, including the depth-16 padding."""
+    model = CSwinUnet(backbone=CSWinUNet(**SMALL))
+    params = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 32, 32, 1)))
+    vol_ds = SynapseDataset(synth["vol_dir"], synth["list_dir"], "test_vol")
+    sample = vol_ds[0]
+    inf = VolumeInferencer(model, params, patch_size=(32, 32), batch_slices=4)
+    host = np.array(run_single_volume(sample["image"], sample["label"], inf,
+                                      classes=4, patch_size=(32, 32)))
+    dev = np.array(run_single_volume(sample["image"], sample["label"], inf,
+                                     classes=4, patch_size=(32, 32),
+                                     device_metrics=True))
+    np.testing.assert_allclose(dev, host, rtol=1e-5, atol=1e-4)
