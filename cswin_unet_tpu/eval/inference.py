@@ -301,6 +301,7 @@ def inference(args, inferencer: VolumeInferencer, db_test, test_save_path=None,
             patch_size=(args.img_size, args.img_size),
             test_save_path=test_save_path, case=case_name,
             z_spacing=getattr(args, "z_spacing", 1),
+            device_metrics=getattr(args, "device_metrics", False),
         )
         metric_sum = metric_sum + np.array(metric_i)
         logging.info(

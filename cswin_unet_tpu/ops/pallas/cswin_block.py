@@ -622,6 +622,19 @@ _ABLATE_SKIP_VT = False
 _ABLATE_SKIP_H = False
 _ABLATE_NO_LEPE_H = False
 _ABLATE_NO_LEPE_V = False
+# Skip the ENTIRE vertical branch (attention + LePE + transpose): a0 is a
+# plain qkv_h slice (wrong math, same shapes). Prices windows+attn+transpose
+# jointly. _ABLATE_BF16_GELU keeps the MLP activation in bf16 end-to-end
+# (no f32 upcast) to price the f32 register-tile traffic of the 4C hidden.
+_ABLATE_SKIP_V = False
+_ABLATE_BF16_GELU = False
+# Spine-deletion switches (scripts/exp_spine.py): remove whole serialized
+# stages of the kernel spine (each is wrong math, same output shape) to
+# localize the composition cost exp_mid.py exposed. Never set in production.
+_ABLATE_NO_MLP = False
+_ABLATE_NO_QKVV = False
+_ABLATE_NO_PROJ = False
+_ABLATE_NO_LN1 = False
 
 
 def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
@@ -637,12 +650,23 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     h2 = heads // 2
     nW = W // split
 
-    xn = _layernorm(x, n1s, n1b)
+    xn = x if _ABLATE_NO_LN1 else _layernorm(x, n1s, n1b)
     qkv_h = _dot(xn, wqkv_h, bqkv_h if qkv_bias else None)
 
-    xtn = _layernorm(xt, n1s, n1b)
-    qkv_v = _dot(xtn, wqkv_v, bqkv_v if qkv_bias else None)
+    if _ABLATE_NO_QKVV:
+        qkv_v = qkv_h  # ablation only: wrong math; kills LN(xt)+dot,
+        # keeps the xt stream (the ref block is still DMAed in)
+    else:
+        xtn = xt if _ABLATE_NO_LN1 else _layernorm(xt, n1s, n1b)
+        qkv_v = _dot(xtn, wqkv_v, bqkv_v if qkv_bias else None)
 
+    if _ABLATE_SKIP_V:
+        # ablation only: wrong math, same shapes — prices the whole
+        # vertical branch (windowing + attention + LePE + transpose).
+        a0 = qkv_h[:, :half].reshape(G, H, W, half)
+        return _block_tail_xt(x, a0, qkv_h, P, dp, G=G, H=H, W=W, C=C,
+                              half=half, h2=h2, split=split, scale=scale,
+                              droppath=droppath)
     # Vertical branch: (H, split) windows of the image are (split, H) row
     # bands of the transposed image — pure sublane reshapes, no transpose.
     qt = qkv_v[:, :half].reshape(G * nW, split * H, half)
@@ -660,6 +684,16 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     else:
         a0 = a0t.transpose(0, 2, 1, 3)  # the single in-kernel transpose
 
+    return _block_tail_xt(x, a0, qkv_h, P, dp, G=G, H=H, W=W, C=C, half=half,
+                          h2=h2, split=split, scale=scale, droppath=droppath)
+
+
+def _block_tail_xt(x, a0, qkv_h, P, dp, *, G, H, W, C, half, h2, split, scale,
+                   droppath):
+    """Horizontal branch + proj + residual + MLP (shared by the production
+    body and the _ABLATE_SKIP_V pricing path)."""
+    (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
+     projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b) = P
     # Horizontal branch: (split, W) windows are row bands of the image.
     if _ABLATE_SKIP_H:
         a1 = a0  # ablation only: wrong math, same shapes/op-mix
@@ -671,17 +705,25 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
                                 H=H, W=W, sp=split, heads=h2, scale=scale)
 
     att = jnp.concatenate([a0, a1], -1).reshape(G * H * W, C)
-    att = _dot(att, projk, projb)
+    if not _ABLATE_NO_PROJ:
+        att = _dot(att, projk, projb)
     if droppath:
         # timm DropPath: per-sample binary keep mask pre-scaled by 1/(1-p)
         att = (att.reshape(G, H * W, C) * dp[0].astype(att.dtype)
                ).reshape(G * H * W, C)
     x = x + att
+    if _ABLATE_NO_MLP:
+        return x
 
     y = _layernorm(x, n2s, n2b)
     y = _dot(y, fc1k, fc1b)
-    yf = y.astype(jnp.float32)
-    y = (yf * 0.5 * (1.0 + _erf(yf * (2.0**-0.5)))).astype(y.dtype)
+    if _ABLATE_BF16_GELU:
+        # ablation only: ~1% relative gelu error (bf16 polynomial) — prices
+        # the f32 register-tile traffic of the 4C-wide hidden.
+        y = y * 0.5 * (1.0 + _erf(y * (2.0 ** -0.5)))
+    else:
+        yf = y.astype(jnp.float32)
+        y = (yf * 0.5 * (1.0 + _erf(yf * (2.0**-0.5)))).astype(y.dtype)
     y = _dot(y, fc2k, fc2b)
     if droppath:
         y = (y.reshape(G, H * W, C) * dp[1].astype(y.dtype)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Joint pricing of the branchy middle + f32 MLP traffic in the fused block.
+
+exp_h.py showed single-piece ablations are flat at s2/s3; this prices
+BIGGER slices: the whole vertical branch (windows+attn+LePE+transpose),
+both branches together, and the bf16-gelu variant, to find whether any
+structural chunk carries the 0.19 ns/elem wall.
+
+Usage: python scripts/exp_mid.py [stage ...]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+import jax.numpy as jnp
+import numpy as np
+
+import cswin_unet_tpu.ops.pallas.cswin_block as cb
+from exp_hb import STAGES, chain_time, mk_params
+
+B = 128
+
+
+def time_stage(st):
+    g = STAGES[st]
+    H, W, C, heads, split, last = (g["H"], g["W"], g["C"], g["heads"],
+                                   g["split"], g["last"])
+    params = mk_params(g, np.random.default_rng(0))
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (B, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def fn(xx, *pp):
+        y = cb.fused_cswin_block(xx, pp, None, H=H, W=W, C=C, heads=heads,
+                                 split=split, last_stage=last, scale=32 ** -0.5,
+                                 qkv_bias=True)
+        return y + xx * 1e-6
+
+    variants = [
+        ("full", {}),
+        ("skip_v", {"_ABLATE_SKIP_V": True}),
+        ("skip_vh", {"_ABLATE_SKIP_V": True, "_ABLATE_SKIP_H": True}),
+        ("bf16_gelu", {"_ABLATE_BF16_GELU": True}),
+        ("all_off", {"_ABLATE_SKIP_V": True, "_ABLATE_SKIP_H": True,
+                     "_ABLATE_BF16_GELU": True}),
+    ]
+    base = None
+    for name, flags in variants:
+        saved = {k: getattr(cb, k) for k in flags}
+        for k, v in flags.items():
+            setattr(cb, k, v)
+        try:
+            t = chain_time(fn, (x, *params), ca=10, cb_=40, n=4)
+            d = "" if base is None else f"  (vs full {1000*(t-base):+6.3f})"
+            print(f"s{st} {name:10s}: {t*1000:8.3f} ms{d}", flush=True)
+            if base is None:
+                base = t
+        except Exception as e:  # noqa: BLE001
+            print(f"s{st} {name:10s}: FAIL {str(e)[:140]}", flush=True)
+        finally:
+            for k, v in saved.items():
+                setattr(cb, k, v)
+
+
+if __name__ == "__main__":
+    stages = [int(a) for a in sys.argv[1:]] or [1, 2, 3]
+    for st in stages:
+        time_stage(st)

@@ -58,6 +58,10 @@ parser.add_argument('--amp-opt-level', type=str, default='O1', choices=['O0', 'O
 parser.add_argument('--tag', help='tag of experiment')
 parser.add_argument('--eval', action='store_true')
 parser.add_argument('--throughput', action='store_true')
+parser.add_argument('--device_metrics', action='store_true',
+                    help='compute dice/hd95 on device (Pallas EDT): '
+                         'predictions never leave HBM; host path '
+                         'is used automatically when saving nii')
 
 args = parser.parse_args()
 config = get_config(args)
