@@ -643,7 +643,11 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     vertical branch computed ENTIRELY in the transposed layout: ``xt`` holds
     the transposed-image rows, ``P`` the vertical half's qkv weight columns
     split out, and exactly ONE in-kernel transpose runs (the branch output).
-    x: (G·H·W, C) rows; xt: (G·W·H, C). Returns the block output rows."""
+    x: (G·H·W, C) rows; xt: (G·W·H, C). With ``xt=None`` (the fold variant)
+    the vertical half's qkv is computed from the SAME LN(x) rows and
+    transposed in-kernel as one joint (G, H, W, 3·half) tensor — trading the
+    second HBM stream + XLA transpose pass + second LN for one more
+    in-kernel transpose. Returns the block output rows."""
     (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
      projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b) = P
     half = C // 2
@@ -656,6 +660,10 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     if _ABLATE_NO_QKVV:
         qkv_v = qkv_h  # ablation only: wrong math; kills LN(xt)+dot,
         # keeps the xt stream (the ref block is still DMAed in)
+    elif xt is None:
+        qv = _dot(xn, wqkv_v, bqkv_v if qkv_bias else None)
+        qkv_v = (qv.reshape(G, H, W, 3 * half).transpose(0, 2, 1, 3)
+                 .reshape(G * W * H, 3 * half))
     else:
         xtn = xt if _ABLATE_NO_LN1 else _layernorm(xt, n1s, n1b)
         qkv_v = _dot(xtn, wqkv_v, bqkv_v if qkv_bias else None)
@@ -716,13 +724,17 @@ def _block_tail_xt(x, a0, qkv_h, P, dp, *, G, H, W, C, half, h2, split, scale,
         return x
 
     y = _layernorm(x, n2s, n2b)
-    y = _dot(y, fc1k, fc1b)
     if _ABLATE_BF16_GELU:
         # ablation only: ~1% relative gelu error (bf16 polynomial) — prices
         # the f32 register-tile traffic of the 4C-wide hidden.
+        y = _dot(y, fc1k, fc1b)
         y = y * 0.5 * (1.0 + _erf(y * (2.0 ** -0.5)))
     else:
-        yf = y.astype(jnp.float32)
+        # keep the fc1 f32 accumulator for the GELU directly (skips a
+        # bf16 round-trip over the 4C-wide hidden; strictly more accurate)
+        yf = jnp.dot(y, fc1k.astype(y.dtype),
+                     preferred_element_type=jnp.float32) + fc1b.astype(
+                         jnp.float32)
         y = (yf * 0.5 * (1.0 + _erf(yf * (2.0**-0.5)))).astype(y.dtype)
     y = _dot(y, fc2k, fc2b)
     if droppath:
@@ -741,6 +753,23 @@ def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
                                fc1k, fc1b, fc2k, fc2b))
     x = _block_body_xt(
         x_ref[...].reshape(G * H * W, C), xt_ref[...].reshape(G * W * H, C),
+        P, (dp0[...], dp1[...]), H=H, W=W, C=C, heads=heads, split=split,
+        scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath)
+    o_ref[...] = x.reshape(G, H, W, C)
+
+
+def _block_kernel_fold(x_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
+                       lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
+                       fc1k, fc1b, fc2k, fc2b, dp0, dp1, o_ref, *,
+                       H, W, C, heads, split, scale, qkv_bias, G, droppath):
+    """Single-stream dual-branch block: same math as ``_block_kernel_xt``
+    but the vertical half's qkv is derived in-kernel (joint transpose of
+    the (G, H, W, 3·half) qkv_v), so no xᵀ input/XLA transpose pass."""
+    P = tuple(r[...] for r in (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
+                               lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
+                               fc1k, fc1b, fc2k, fc2b))
+    x = _block_body_xt(
+        x_ref[...].reshape(G * H * W, C), None,
         P, (dp0[...], dp1[...]), H=H, W=W, C=C, heads=heads, split=split,
         scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath)
     o_ref[...] = x.reshape(G, H, W, C)
@@ -810,9 +839,11 @@ def _block_kernel(x_ref, n1s, n1b, qkvk, qkvb, lk0, lb0, lk1, lb1,
     x = x + att
 
     y = _layernorm(x, n2s[...], n2b[...])
-    y = _dot(y, fc1k[...], fc1b[...])
-    # exact-form GELU x·Φ(x); erf via the A&S approximation above
-    yf = y.astype(jnp.float32)
+    # exact-form GELU x·Φ(x); erf via the A&S approximation above. The fc1
+    # f32 accumulator feeds the GELU directly (no bf16 round-trip).
+    yf = jnp.dot(y, fc1k[...].astype(y.dtype),
+                 preferred_element_type=jnp.float32) + fc1b[...].astype(
+                     jnp.float32)
     y = (yf * 0.5 * (1.0 + _erf(yf * (2.0**-0.5)))).astype(y.dtype)
     y = _dot(y, fc2k[...], fc2b[...])
     if droppath:
@@ -1224,6 +1255,19 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )
+
+    if use_xt == "fold" and not last_stage:
+        kern = functools.partial(
+            _block_kernel_fold, H=H, W=W, C=C, heads=heads, split=split,
+            scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath,
+        )
+        return pl.pallas_call(
+            kern,
+            in_specs=[x_spec]
+            + [full(p.shape) for p in _xt_kernel_params(params, C)]
+            + [dp_spec, dp_spec],
+            **common,
+        )(x, *_xt_kernel_params(params, C), dp0, dp1)
 
     if use_xt and not last_stage:
         xt = x.transpose(0, 2, 1, 3)  # XLA HBM transpose, fuses upstream

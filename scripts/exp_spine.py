@@ -35,11 +35,18 @@ def time_stage(st):
     x = jnp.asarray(np.random.default_rng(1).standard_normal(
         (B, H, W, C)).astype(np.float32)).astype(jnp.bfloat16)
 
-    def fn(xx, *pp):
-        y = cb.fused_cswin_block(xx, pp, None, H=H, W=W, C=C, heads=heads,
-                                 split=split, last_stage=last, scale=32 ** -0.5,
-                                 qkv_bias=True)
-        return y + xx * 1e-6
+    def mk_fn(tag):
+        # _fused_block_fwd is itself @jax.jit with static argnames; calling
+        # it through the decorator would hit the SAME compiled kernel for
+        # every flag variant (the trace-time flags are not in the cache
+        # key). Bypass via __wrapped__ and jit fresh per variant.
+        def fn(xx, *pp, _tag=tag):
+            y = cb._fused_block_fwd.__wrapped__(
+                xx, pp, None, H=H, W=W, C=C, heads=heads, split=split,
+                last_stage=last, scale=32 ** -0.5, qkv_bias=True,
+                g_images=None, use_xt=True)
+            return y + xx * 1e-6
+        return jax.jit(fn)
 
     variants = [
         ("full", {}),
@@ -58,7 +65,7 @@ def time_stage(st):
         for k, v in flags.items():
             setattr(cb, k, v)
         try:
-            t = chain_time(fn, (x, *params), ca=10, cb_=40, n=4)
+            t = chain_time(mk_fn(name), (x, *params), ca=10, cb_=40, n=4)
             d = "" if base is None else f"  (vs full {1000*(t-base):+6.3f})"
             print(f"s{st} {name:10s}: {t*1000:8.3f} ms{d}", flush=True)
             if base is None:
