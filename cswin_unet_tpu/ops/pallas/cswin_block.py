@@ -1217,13 +1217,29 @@ def _default_g(B: int, H: int, W: int, C: int) -> int:
     return g
 
 
+def _use_xt_default(H: int, W: int) -> bool | str:
+    """Measured per-geometry routing between the two dual-branch block
+    formulations (scripts/exp_fold.py, bs128 long chains):
+
+    - xt (two HBM streams: x and the XLA-transposed x; vertical qkv from
+      LN(xt)) wins at large resos where the in-kernel joint transpose is
+      expensive (stage 1: 4.75 vs 5.82 ms; stage 2: 2.38 vs 2.46);
+    - fold (single stream, vertical qkv transposed in-kernel) wins at
+      small resos where the saved second stream + XLA transpose pass
+      beats the in-kernel transpose (stage 3: 1.084 vs 1.130 ms).
+    Both are bit-exact equals."""
+    return "fold" if H * W <= 196 else True
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("H", "W", "C", "heads", "split", "last_stage", "scale",
                      "qkv_bias", "g_images", "use_xt"),
 )
 def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
-                     scale, qkv_bias, g_images=None, use_xt=True):
+                     scale, qkv_bias, g_images=None, use_xt=None):
+    if use_xt is None:
+        use_xt = _use_xt_default(H, W)
     B = x.shape[0]
     droppath = dps is not None
     if dps is None:

@@ -50,7 +50,7 @@ GEOMETRIES = [
 ]
 
 
-@pytest.mark.parametrize("use_xt", [True, False])
+@pytest.mark.parametrize("use_xt", [True, False, "fold"])
 @pytest.mark.parametrize("H,W,C,heads,split,last,g", GEOMETRIES)
 def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt):
     rng = np.random.default_rng(42)
