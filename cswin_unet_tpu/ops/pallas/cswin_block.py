@@ -136,6 +136,19 @@ def _shift_zero(x, di, dj):
     return x
 
 
+def _lepe_flat(c: int) -> bool:
+    """Measured routing for the sp_h >= 2 LePE formulation (scripts/
+    exp_lepe.py, bs128 whole-block chains, xt kernel): the flattened
+    row-shift form wins everywhere — stage 2 (c=64) 2.53 -> 1.95 ms/block,
+    stage 3 (c=128) 1.22 -> 1.02 — the 4D form's per-tap ops on tiny
+    (sp_w, c) trailing tiles cost more than the flat form's six extra
+    boundary-mask FMAs. (Inside the FOLD kernel the flat form loses at
+    stage 3 — 1.08 -> 1.21 — the in-kernel qkv_v transpose layout fights
+    the flat reshapes; but xt+flat beats fold+anything, so fold routing
+    is off and this stays unconditional.)"""
+    return True
+
+
 def _lepe_windows(vw, lk, lb, swap=False):
     """Depthwise 3x3 LePE on WINDOWED v (n, sp_h, sp_w, C) -> same shape.
 
@@ -148,31 +161,68 @@ def _lepe_windows(vw, lk, lb, swap=False):
     ``swap=True`` pairs shifts with transposed taps, for branches computed
     in transposed image coordinates."""
     n, sp_h, sp_w, c = vw.shape
+    # Accumulate in the ACTIVATION dtype: under f32 activations (the
+    # interpret-mode parity tests) this is exact; under bf16 it halves the
+    # register traffic of the 9 (or 3) tap FMAs and drops the per-tap
+    # upcast pass that made LePE the single costliest branch piece
+    # (corrected exp_h.py: 0.4-0.66 ms/block of a 1.1-4.8 ms block). The
+    # bf16 rounding of a 9-term positional-bias sum is far inside the
+    # bf16 tolerance the composed-oracle comparison allows (0.06).
+    dt = vw.dtype
     if sp_h == 1:
         # 3-tap row conv via SUBLANE concat shifts on the 3-D view (no unit
-        # dim next to the tiled dims, so Mosaic's concat lowering applies):
-        # stays in the activation dtype — the f32 roll + iota-mask variant
-        # this replaces paid an f32 upcast and two mask multiplies per tap.
+        # dim next to the tiled dims, so Mosaic's concat lowering applies).
         # Boundary pad is DERIVED from the source (v3[:, :1] * 0), the
         # layout-match trick _hb_tile documents.
         v3 = vw.reshape(n, sp_w, c)
-        acc = (v3.astype(jnp.float32)
-               * lk[1, 1].astype(jnp.float32))
+        acc = v3 * lk[1, 1].astype(dt)
         for dj in (-1, 1):
             tap = lk[1 - dj, 1] if swap else lk[1, 1 - dj]
             s = (jnp.concatenate([v3[:, :1] * 0, v3[:, :-1]], 1) if dj > 0
                  else jnp.concatenate([v3[:, 1:], v3[:, :1] * 0], 1))
-            acc += s.astype(jnp.float32) * tap.astype(jnp.float32)
-        return (acc + lb.astype(jnp.float32)).reshape(vw.shape)
-    acc = jnp.zeros(vw.shape, jnp.float32)
+            acc += s * tap.astype(dt)
+        return (acc + lb.astype(dt)).reshape(vw.shape)
+    if not _lepe_flat(c):
+        acc = None
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                s = _shift_zero(vw, di, dj)
+                if s is None:
+                    continue
+                tap = lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]
+                term = s * tap.astype(dt)
+                acc = term if acc is None else acc + term
+        return acc + lb.astype(dt)
+    # sp_h >= 2, narrow c: FLATTENED row-shift formulation. The 4D
+    # (n, sp_h, sp_w, c) zero-fill concat shifts run every tap on tiny
+    # (sp_w, c) trailing tiles (huge per-op overhead at e.g. (28, 64));
+    # here every tap is ONE sublane shift of the 3D (n, sp_h·sp_w, c) view
+    # by di·sp_w + dj rows (same low-overhead layout the sp_h == 1 path
+    # uses). dj == 0 taps need no mask — the derived zero pad lands exactly
+    # on the rows whose source row is outside the window; dj != 0 taps mask
+    # the sp_w-boundary rows via a constant iota row-validity mask folded
+    # into the per-channel tap (one FMA per tap either way).
+    L = sp_h * sp_w
+    v2 = vw.reshape(n, L, c)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) % sp_w
+    acc = v2 * lk[1, 1].astype(dt)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
-            s = _shift_zero(vw, di, dj)
-            if s is None:
+            if di == 0 and dj == 0:
                 continue
-            tap = lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]
-            acc += s.astype(jnp.float32) * tap.astype(jnp.float32)
-    return acc + lb.astype(jnp.float32)
+            d = di * sp_w + dj
+            if d > 0:
+                s = jnp.concatenate([v2[:, :d] * 0, v2[:, :-d]], 1)
+            else:
+                s = jnp.concatenate([v2[:, -d:], v2[:, d:] * 0], 1)
+            tap = (lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]
+                   ).astype(dt)
+            if dj:
+                ok = ((jj - dj >= 0) & (jj - dj < sp_w)).astype(dt)
+                acc += s * (ok * tap)
+            else:
+                acc += s * tap
+    return (acc + lb.astype(dt)).reshape(vw.shape)
 
 
 def _ln_bwd(x, dy, scale):
@@ -582,8 +632,8 @@ def _branch_horizontal(q, k, v, lk, lb, *, H, W, sp, heads, scale):
     if _ABLATE_NO_LEPE_H:
         return out.reshape(G, H, W, C2)
     lepe = _lepe_windows(vw.reshape(G * nH, sp, W, C2), lk, lb)
-    out = (out.reshape(G * nH, sp, W, C2).astype(jnp.float32) + lepe)
-    return out.astype(q.dtype).reshape(G, H, W, C2)
+    out = out.reshape(G * nH, sp, W, C2) + lepe
+    return out.reshape(G, H, W, C2)
 
 
 def _branch_vertical(q, k, v, lk, lb, *, H, W, sp, heads, scale):
@@ -684,8 +734,7 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     if not _ABLATE_NO_LEPE_V:
         lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0,
                               lb0, swap=True)
-        a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32)
-               + lepe0).astype(x.dtype)
+        a0t = a0t.reshape(G * nW, split, H, half) + lepe0
     a0t = a0t.reshape(G, W, H, half)
     if _ABLATE_SKIP_VT and H == W:
         a0 = a0t  # ablation only: wrong math, same shapes/op-mix
@@ -1224,11 +1273,14 @@ def _use_xt_default(H: int, W: int) -> bool | str:
     - xt (two HBM streams: x and the XLA-transposed x; vertical qkv from
       LN(xt)) wins at large resos where the in-kernel joint transpose is
       expensive (stage 1: 4.75 vs 5.82 ms; stage 2: 2.38 vs 2.46);
-    - fold (single stream, vertical qkv transposed in-kernel) wins at
-      small resos where the saved second stream + XLA transpose pass
-      beats the in-kernel transpose (stage 3: 1.084 vs 1.130 ms).
+    - fold (single stream, vertical qkv transposed in-kernel) won at
+      stage 3 under the OLD 4D LePE (1.084 vs 1.130 ms) — but with the
+      flat LePE formulation xt wins everywhere (stage 3: 1.018 xt+flat
+      vs 1.075 fold+4d vs 1.208 fold+flat; scripts/exp_lepe.py), so the
+      routing is xt across the board. Fold stays parity-covered for
+      future re-measurement.
     Both are bit-exact equals."""
-    return "fold" if H * W <= 196 else True
+    return True
 
 
 @functools.partial(
