@@ -103,8 +103,12 @@ def bench_infer(batch=128, chain_a=21, chain_b=41, attn_impl="fused",
 
     def chained(params, x, k):
         def body(carry, _):
-            pred = model.apply(params, carry)
-            return carry + 1e-6 * pred[..., :1], ()
+            # The EVAL forward (what test_single_volume runs per slice):
+            # per-pixel labels with the argmax fused into the tail kernel.
+            # Softmax is monotone, so labels == the reference pipeline's
+            # softmax->argmax output (utils.py:74).
+            pred = model.apply(params, carry, emit="labels")
+            return carry + 1e-6 * pred[..., None].astype(carry.dtype), ()
 
         c, _ = lax.scan(body, x, None, length=k)
         return jnp.sum(c)

@@ -75,9 +75,14 @@ class VolumeInferencer:
         idx = None if class_indices is None else jnp.asarray(class_indices)
 
         def forward(params, images):
+            if idx is None:
+                # full-channel argmax: the model fuses it into the tail
+                # kernel (emit="labels") — no logits write, no softmax pass;
+                # softmax is monotone so labels are identical (utils.py:74)
+                return model.apply(params, images, deterministic=True,
+                                   emit="labels")
             logits = model.apply(params, images, deterministic=True)
-            if idx is not None:
-                logits = logits[..., idx]
+            logits = logits[..., idx]
             probs = jax.nn.softmax(logits, axis=-1)
             return jnp.argmax(probs, axis=-1).astype(jnp.int32)
 

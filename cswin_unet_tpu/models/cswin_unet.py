@@ -455,10 +455,11 @@ class CSWinUNet(nn.Module):
         return x
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, emit: str = "logits"):
         assert x.shape[-1] == self.in_chans, (
             f"expected NHWC input with {self.in_chans} channels, got {x.shape}"
         )
+        assert emit in ("logits", "labels")
         x = x.astype(self.dtype)
         ed = self.embed_dim
         depth = list(self.depth)
@@ -554,6 +555,16 @@ class CSWinUNet(nn.Module):
             # forward (20.5 ms of a 72 ms bs128 run — scripts/profile_tail.py);
             # the kernel keeps reassembly in VMEM. custom_vjp replays the XLA
             # composition for gradients.
+            if emit == "labels":
+                # eval forward: per-pixel argmax fused INTO the tail kernel
+                # (softmax is monotone — identical labels to the reference's
+                # softmax->argmax, utils.py:74); the num_classes·up² logits
+                # write and the eval-side argmax pass never touch HBM.
+                from ..ops.pallas.carafe_tail import carafe_tail_argmax_pallas
+
+                return carafe_tail_argmax_pallas(
+                    x.astype(self.dtype), *up_params, cls_kernel,
+                    up_factor=up)
             from ..ops.pallas.carafe_tail import carafe_tail
 
             x = carafe_tail(x.astype(self.dtype), *up_params, cls_kernel,
@@ -563,4 +574,6 @@ class CSWinUNet(nn.Module):
                 x.astype(self.dtype), *up_params, cls_kernel, kernel_size=k,
                 up_factor=up,
             )
+        if emit == "labels":
+            return jnp.argmax(x.astype(jnp.float32), axis=-1).astype(jnp.int32)
         return x.astype(jnp.float32)

@@ -23,10 +23,10 @@ class CSwinUnet(nn.Module):
     backbone: CSWinUNet
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, *, deterministic: bool = True, emit: str = "logits"):
         if x.shape[-1] == 1:
             x = jnp.repeat(x, 3, axis=-1)  # reference vision_transformer.py:40-41
-        return self.backbone(x, deterministic=deterministic)
+        return self.backbone(x, deterministic=deterministic, emit=emit)
 
 
 def build_model(

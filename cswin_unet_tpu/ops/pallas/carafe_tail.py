@@ -67,7 +67,8 @@ def _shift2d_roll(x, di, dj):
 
 
 def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
-            expand_sel, tile_sel, o_ref, *, H, W, C, NC, UP2, G):
+            expand_sel, tile_sel, bias_lane, o_ref, *, H, W, C, NC, UP2, G,
+            emit):
     K2 = 9
     HW = H * W
     # G == 1: bf16 pad+concat shifts (cheapest, proven). G > 1: f32
@@ -140,7 +141,26 @@ def _kernel(x_ref, wdown, bdown, wenc, benc, wy9, sum_sel, spread_sel,
                          preferred_element_type=jnp.float32)
             acc = acc + (src * wk).reshape(G, H, W, NC * UP2)
 
-    o_ref[...] = acc.astype(o_ref.dtype)
+    if emit == "logits":
+        o_ref[...] = acc.astype(o_ref.dtype)
+        return
+    # emit == "argmax": the eval pipeline needs LABELS, not logits —
+    # softmax is monotone so argmax over logits is identical (reference
+    # utils.py:74 softmax->argmax). Selectors are CLASS-major here
+    # (lane = n·UP2 + s), so each class's up-position plane is a
+    # contiguous UP2-lane slice; a first-occurrence-wins running argmax
+    # (strict >, numpy/torch tie convention) costs NC compare/selects.
+    # Output (G, H, W, UP2) int32 — 9x less HBM than the logits write,
+    # and the eval-side softmax/argmax pass disappears.
+    acc = acc + bias_lane[...].astype(jnp.float32)
+    best = acc[:, :, :, :UP2]
+    idx = jnp.zeros(best.shape, jnp.int32)
+    for n in range(1, NC):
+        v = acc[:, :, :, n * UP2 : (n + 1) * UP2]
+        gt = v > best
+        idx = jnp.where(gt, n, idx)
+        best = jnp.where(gt, v, best)
+    o_ref[...] = idx
 
 
 def _sum_selector(k2: int, up2: int) -> np.ndarray:
@@ -152,10 +172,10 @@ def _sum_selector(k2: int, up2: int) -> np.ndarray:
     return sel
 
 
-@functools.partial(jax.jit, static_argnames=("up_factor", "g_images"))
+@functools.partial(jax.jit, static_argnames=("up_factor", "g_images", "emit"))
 def carafe_fused_pallas(x, down_kernel, down_bias, encoder_kernel,
                         encoder_bias, out_kernel, out_bias, cls_kernel=None,
-                        *, up_factor=2, g_images=None):
+                        *, up_factor=2, g_images=None, emit="logits"):
     """Whole-CARAFE fused kernel: (B, H, W, C) -> (B, up·H, up·W, NC).
 
     With ``cls_kernel`` the 1x1 classifier is folded into the hoisted
@@ -181,15 +201,23 @@ def carafe_fused_pallas(x, down_kernel, down_bias, encoder_kernel,
     NC = wy9.shape[-1]
     sum_sel = jnp.asarray(_sum_selector(K2, UP2))
     spread_sel = sum_sel.T                                   # (up2, k2*up2)
-    expand = np.zeros((UP2, UP2 * NC), np.float32)           # E[s, s*NC+n]=1
-    for s in range(UP2):
-        expand[s, s * NC : (s + 1) * NC] = 1.0
-    expand_sel = jnp.asarray(expand)
-    tile = np.zeros((NC, UP2 * NC), np.float32)              # T[n, s*NC+n]=1
+    expand = np.zeros((UP2, UP2 * NC), np.float32)
+    tile = np.zeros((NC, UP2 * NC), np.float32)
     for s in range(UP2):
         for n in range(NC):
-            tile[n, s * NC + n] = 1.0
+            # acc lane layout is whatever the selectors encode: s-major
+            # (lane = s·NC + n) for the logits output (depth-to-space
+            # epilogue order), CLASS-major (lane = n·UP2 + s) for the
+            # argmax output (contiguous per-class planes).
+            lane = s * NC + n if emit == "logits" else n * UP2 + s
+            expand[s, lane] = 1.0
+            tile[n, lane] = 1.0
+    expand_sel = jnp.asarray(expand)
     tile_sel = jnp.asarray(tile)
+    # per-lane class bias (traced — bias_comb may be out_bias @ W_cls)
+    bias_lane = (jnp.tile(bias_comb.astype(jnp.float32), UP2)
+                 if emit == "logits"
+                 else jnp.repeat(bias_comb.astype(jnp.float32), UP2))
 
     # Images per program. Large-activation sites (>= 28x28) run G = 1 —
     # one image already fills the MXU shapes. Small sites (14x14, 7x7)
@@ -211,22 +239,29 @@ def carafe_fused_pallas(x, down_kernel, down_bias, encoder_kernel,
                                   memory_space=pltpu.VMEM)
     x_spec = pl.BlockSpec((G, H, W, C), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    o_spec = pl.BlockSpec((G, H, W, NC * UP2), lambda b: (b, 0, 0, 0),
+    out_lanes = UP2 if emit == "argmax" else NC * UP2
+    out_dtype = jnp.int32 if emit == "argmax" else x.dtype
+    o_spec = pl.BlockSpec((G, H, W, out_lanes), lambda b: (b, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     consts = (wdown, down_bias, wenc, encoder_bias, wy9, sum_sel, spread_sel,
-              expand_sel, tile_sel)
+              expand_sel, tile_sel, bias_lane)
 
-    kern = functools.partial(_kernel, H=H, W=W, C=C, NC=NC, UP2=UP2, G=G)
+    kern = functools.partial(_kernel, H=H, W=W, C=C, NC=NC, UP2=UP2, G=G,
+                             emit=emit)
     t = pl.pallas_call(
         kern,
         grid=(B // G,),
         in_specs=[x_spec] + [full(c) for c in consts],
         out_specs=o_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, W, NC * UP2), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, W, out_lanes), out_dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(x, *consts)
 
+    if emit == "argmax":
+        # depth-to-space on int32 labels: lane = i·UP + j.
+        t = t.reshape(B, H, W, UP, UP).transpose(0, 1, 3, 2, 4)
+        return t.reshape(B, H * UP, W * UP)
     # bias (taps sum to 1 ⇒ passes through reassembly) + depth-to-space.
     # Lanes are s-major: lane = (i·UP + j)·NC + n.
     t = t.reshape(B, H, W, UP, UP, NC) + bias_comb.astype(t.dtype)
@@ -242,6 +277,19 @@ def carafe_tail_pallas(x, down_kernel, down_bias, encoder_kernel,
     return carafe_fused_pallas(
         x, down_kernel, down_bias, encoder_kernel, encoder_bias,
         out_kernel, out_bias, cls_kernel, up_factor=up_factor)
+
+
+def carafe_tail_argmax_pallas(x, down_kernel, down_bias, encoder_kernel,
+                              encoder_bias, out_kernel, out_bias, cls_kernel,
+                              *, up_factor=4):
+    """(B, H, W, C) -> (B, up·H, up·W) int32 LABELS: the tail kernel with
+    the per-pixel class argmax fused in (softmax is monotone, so this
+    equals the reference's softmax->argmax, utils.py:74). Cuts the tail's
+    HBM write NC·up²/up²-fold and removes the eval-side argmax pass.
+    Inference-only (no vjp)."""
+    return carafe_fused_pallas(
+        x, down_kernel, down_bias, encoder_kernel, encoder_bias,
+        out_kernel, out_bias, cls_kernel, up_factor=up_factor, emit="argmax")
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))

@@ -107,6 +107,25 @@ def main():
     run("mlp64 G=2", k64g2, x, (n1s, n1b, fc1, fc1b, fc2, fc2b),
         (2, H, W, C), B // 2)
 
+    # --- control: baseline width but LN stats via MXU selector dots ---
+    selC = jnp.full((C, C), 1.0 / C)
+
+    def k64mm(x_ref, s, b, sel, w1, b1, w2, b2, o_ref):
+        xx = x_ref[...].reshape(N, C)
+        xf = xx.astype(jnp.float32)
+        mu = jax.lax.dot(xf, sel[...])
+        d = xf - mu
+        var = jax.lax.dot(d * d, sel[...])
+        y = ((d * jax.lax.rsqrt(var + 1e-5)) * s[...] + b[...]).astype(xx.dtype)
+        yf = jnp.dot(y, w1[...].astype(y.dtype),
+                     preferred_element_type=jnp.float32) + b1[...]
+        y = (yf * 0.5 * (1.0 + cb._erf(yf * (2.0 ** -0.5)))).astype(xx.dtype)
+        y = cb._dot(y, w2[...], b2[...])
+        o_ref[...] = (xx + y).reshape(1, H, W, C)
+
+    run("mlp64 mmln", k64mm, x, (n1s, n1b, selC, fc1, fc1b, fc2, fc2b),
+        (1, H, W, C), B)
+
     # --- packed: two images in LANES, (3136, 128) ---
     C2, HID2 = 2 * C, 2 * HID
     xp = jnp.asarray(

@@ -93,3 +93,42 @@ def test_carafe_up_matches_fast_f32():
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_tail_argmax_matches_oracle_labels():
+    """Fused argmax tail == argmax over the oracle's logits (softmax is
+    monotone, so this is the reference softmax->argmax, utils.py:74)."""
+    from cswin_unet_tpu.ops.pallas.carafe_tail import carafe_tail_argmax_pallas
+
+    rng = np.random.default_rng(3)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    got = carafe_tail_argmax_pallas(
+        x, p["down_kernel"], p["down_bias"], p["encoder_kernel"],
+        p["encoder_bias"], p["out_kernel"], p["out_bias"], p["cls_kernel"],
+        up_factor=4)
+    want = jnp.argmax(
+        carafe_with_classifier(x, **p, kernel_size=3, up_factor=4), axis=-1)
+    assert got.shape == (2, 32, 32) and got.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_model_labels_emit_matches_logits_argmax():
+    """model(emit='labels') == argmax(model(emit='logits')) for both attn
+    impls (the eval forward's fused path vs the composed fallback)."""
+    import pytest
+    from cswin_unet_tpu.models import CSWinUNet, CSwinUnet
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, 1)).astype(np.float32))
+    for impl in ("fused", "xla"):
+        m = CSwinUnet(backbone=CSWinUNet(
+            img_size=32, num_classes=5, embed_dim=16, depth=(1, 1, 1, 1),
+            split_size=(1, 2, 2, 1), num_heads=(2, 2, 4, 8),
+            drop_path_rate=0.0, attn_impl=impl))
+        params = m.init(jax.random.PRNGKey(0), x)
+        logits = m.apply(params, x, deterministic=True)
+        labels = m.apply(params, x, deterministic=True, emit="labels")
+        assert labels.shape == (2, 32, 32) and labels.dtype == jnp.int32
+        np.testing.assert_array_equal(
+            np.asarray(labels), np.asarray(jnp.argmax(logits, axis=-1)))
