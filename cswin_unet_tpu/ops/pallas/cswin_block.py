@@ -225,6 +225,56 @@ def _lepe_windows(vw, lk, lb, swap=False):
     return (acc + lb.astype(dt)).reshape(vw.shape)
 
 
+def _lepe_windows_dual(vw, lk0, lb0, lk1, lb1, n):
+    """Flat row-shift LePE on BRANCH-STACKED windows (2n, sp_h, sp_w, C):
+    rows [0, n) are the vertical branch (transposed coordinates — swapped
+    lk0 taps), rows [n, 2n) the horizontal branch (lk1 taps). One shift +
+    FMA pass serves both branches; the per-tap channel vector is selected
+    per row group (a (2n, 1, C) where — sublane-only broadcast). Same math
+    as two ``_lepe_windows`` calls (flat/row-conv formulations)."""
+    n2, sp_h, sp_w, c = vw.shape
+    dt = vw.dtype
+    gsel = jax.lax.broadcasted_iota(jnp.int32, (n2, 1, 1), 0) < n
+
+    def tap(di, dj):
+        tv = jnp.broadcast_to(lk0[1 - dj, 1 - di].astype(dt), (n2, 1, c))
+        th = jnp.broadcast_to(lk1[1 - di, 1 - dj].astype(dt), (n2, 1, c))
+        return jnp.where(gsel, tv, th)
+
+    bias = jnp.where(gsel, jnp.broadcast_to(lb0.astype(dt), (n2, 1, c)),
+                     jnp.broadcast_to(lb1.astype(dt), (n2, 1, c)))
+    if sp_h == 1:
+        # 3-tap row conv (see _lepe_windows sp_h == 1).
+        v3 = vw.reshape(n2, sp_w, c)
+        acc = v3 * tap(0, 0)
+        for dj in (-1, 1):
+            s = (jnp.concatenate([v3[:, :1] * 0, v3[:, :-1]], 1) if dj > 0
+                 else jnp.concatenate([v3[:, 1:], v3[:, :1] * 0], 1))
+            acc += s * tap(0, dj)
+        return (acc + bias).reshape(vw.shape)
+    # Flattened row-shift formulation (see _lepe_windows sp_h >= 2).
+    L = sp_h * sp_w
+    v2 = vw.reshape(n2, L, c)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) % sp_w
+    acc = v2 * tap(0, 0)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            d = di * sp_w + dj
+            if d > 0:
+                s = jnp.concatenate([v2[:, :d] * 0, v2[:, :-d]], 1)
+            else:
+                s = jnp.concatenate([v2[:, -d:], v2[:, d:] * 0], 1)
+            t = tap(di, dj)
+            if dj:
+                ok = ((jj - dj >= 0) & (jj - dj < sp_w)).astype(dt)
+                acc += s * (ok * t)
+            else:
+                acc += s * t
+    return (acc + bias).reshape(vw.shape)
+
+
 def _ln_bwd(x, dy, scale):
     """LayerNorm backward, recomputing the f32 statistics from ``x``.
     x: (N, C) activation dtype; dy: (N, C) f32. Returns (dx f32, dscale f32,
@@ -347,6 +397,57 @@ def _lepe_windows_bwd(vw, da, lk, swap=False):
     for (a, b), g in dtaps.items():
         dlk = dlk + jnp.where(row == a * 3 + b, 1.0, 0.0) * g[None, :]
     return dv, dlk, dlb
+
+
+def _lepe_windows_bwd_dual(vw, da, lk0, lk1, n):
+    """Backward of ``_lepe_windows_dual``: branch-stacked windows
+    (2n, sp_h, sp_w, C) — rows [0, n) vertical (swapped lk0 taps), rows
+    [n, 2n) horizontal (lk1). One roll pass per tap serves both branches;
+    tap grads reduce per row group. Returns (dvw f32, dlk0 (9, C), dlb0,
+    dlk1 (9, C), dlb1) — (9, C) in row-major (a, b) tap order."""
+    n2, sp_h, sp_w, c = vw.shape
+    dlb0 = jnp.sum(da[:n], axis=(0, 1, 2))
+    dlb1 = jnp.sum(da[n:], axis=(0, 1, 2))
+    vf = vw.astype(jnp.float32)
+    r_i = jax.lax.broadcasted_iota(jnp.int32, (sp_h, sp_w), 0)
+    c_i = jax.lax.broadcasted_iota(jnp.int32, (sp_h, sp_w), 1)
+    gsel = jax.lax.broadcasted_iota(jnp.int32, (n2, 1, 1, 1), 0) < n
+
+    def roll2(t, di, dj):
+        if di:
+            t = pltpu.roll(t, di % sp_h, 1)
+        if dj:
+            t = pltpu.roll(t, dj % sp_w, 2)
+        return t
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (9, c), 0)
+    dv = jnp.zeros(vw.shape, jnp.float32)
+    dlk0 = jnp.zeros((9, c), jnp.float32)
+    dlk1 = jnp.zeros((9, c), jnp.float32)
+    for di in (-1, 0, 1):
+        if abs(di) >= sp_h:
+            continue
+        for dj in (-1, 0, 1):
+            if abs(dj) >= sp_w:
+                continue
+            i0 = (1 - dj, 1 - di)  # vertical: transposed-coordinate taps
+            i1 = (1 - di, 1 - dj)
+            ok = ((r_i - di >= 0) & (r_i - di < sp_h)
+                  & (c_i - dj >= 0) & (c_i - dj < sp_w))
+            dam = da * ok.astype(jnp.float32)[None, :, :, None]
+            prod = roll2(vf, di, dj) * dam
+            g0 = jnp.sum(prod[:n], axis=(0, 1, 2))
+            g1 = jnp.sum(prod[n:], axis=(0, 1, 2))
+            dlk0 = dlk0 + jnp.where(row == i0[0] * 3 + i0[1], 1.0, 0.0) * g0[None, :]
+            dlk1 = dlk1 + jnp.where(row == i1[0] * 3 + i1[1], 1.0, 0.0) * g1[None, :]
+            tap = jnp.where(
+                gsel,
+                jnp.broadcast_to(lk0[i0[0], i0[1]].astype(jnp.float32),
+                                 (n2, 1, 1, c)),
+                jnp.broadcast_to(lk1[i1[0], i1[1]].astype(jnp.float32),
+                                 (n2, 1, 1, c)))
+            dv = dv + roll2(dam, -di, -dj) * tap
+    return dv, dlk0, dlb0, dlk1, dlb1
 
 
 def _hb_params(L: int, heads: int, d: int):
@@ -687,6 +788,78 @@ _ABLATE_NO_PROJ = False
 _ABLATE_NO_LN1 = False
 
 
+# Branch-batch routing mode: "auto" (measured), "on", "off". Experiments
+# monkeypatch this to A/B the stacked vs per-branch formulations.
+_BB_MODE = "auto"
+
+
+def _use_bb(H: int, W: int) -> bool:
+    """Route the two stripe branches through ONE stacked attention + LePE
+    pass (``_dual_branch_bb``). Requires square images (the two branches'
+    windowed shapes only coincide then — always true in every config).
+    Measured (scripts/exp_bb.py, bs128 whole-block chains, xt kernel):
+    stage 1 4.77 -> 4.34 ms (the one geometry whose attention runs the
+    per-head narrow-dot path — halving its issue count pays); stage 2
+    1.95 -> 2.02 (loses), stage 3 / 48x48 a wash (head-block attention is
+    already one wide-dot pair per branch there), and 96x96 FAILS Mosaic
+    compile (the 2n-stacked concat blows the scheduler at that size) —
+    so the routing is exactly the 56x56 stage-1 geometry."""
+    if H != W:
+        return False
+    if _BB_MODE != "auto":
+        return _BB_MODE == "on"
+    return H == 56
+
+
+def _use_bb_bwd(H: int, W: int) -> bool:
+    """Branch-batch routing for the hand-written backward kernel (same
+    stacking, applied to the recompute + attention-vjp + LePE-bwd):
+    measured OFF everywhere. scripts/exp_bb.py bwd, bs128 fwd+bwd chains:
+    stage 1 10.11 -> 9.94 ms (less than the fwd-only 0.43 gain, i.e. the
+    bwd side loses ~0.26), stage 2 6.30 -> 6.54, 48x48 10.55 -> 11.40 —
+    the stacked f32 cotangent concats add more VMEM traffic than the
+    halved issue count saves. Kept parity-covered (tests parametrize
+    _BB_MODE) for re-measurement on future Mosaic."""
+    if H != W:
+        return False
+    if _BB_MODE != "auto":
+        return _BB_MODE == "on"
+    return False
+
+
+def _dual_branch_bb(qkv_v, qkv_h, lk0, lb0, lk1, lb1, *, G, H, W, half, h2,
+                    split, scale):
+    """Both stripe branches in ONE attention + ONE LePE call.
+
+    With H == W the vertical branch's transposed-layout windows
+    (G·W/split, split·H, half) and the horizontal branch's windows
+    (G·H/split, split·W, half) are the same shape, so they stack on the
+    window-batch dim: every dot, softmax pass and LePE tap then issues
+    once over 2n windows instead of twice over n — the measured block cost
+    is per-issue overhead, not FLOPs (true deletion profile in ROADMAP.md).
+    Exact: stripe attention and LePE are independent per window. Returns
+    (a0 image-layout vertical half, a1 image-layout horizontal half)."""
+    nW = W // split
+    n = G * nW
+    L = split * H
+    qt = qkv_v[:, :half].reshape(n, L, half)
+    kt = qkv_v[:, half : 2 * half].reshape(n, L, half)
+    vt = qkv_v[:, 2 * half :].reshape(n, L, half)
+    qw = qkv_h[:, :half].reshape(n, L, half)
+    kw = qkv_h[:, half : 2 * half].reshape(n, L, half)
+    vw = qkv_h[:, 2 * half :].reshape(n, L, half)
+    q2 = jnp.concatenate([qt, qw], 0)
+    k2 = jnp.concatenate([kt, kw], 0)
+    v2 = jnp.concatenate([vt, vw], 0)
+    out = _attn_auto(q2, k2, v2, h2, scale)
+    lepe = _lepe_windows_dual(v2.reshape(2 * n, split, H, half),
+                              lk0, lb0, lk1, lb1, n)
+    out = out.reshape(2 * n, split, H, half) + lepe
+    a0 = out[:n].reshape(G, W, H, half).transpose(0, 2, 1, 3)
+    a1 = out[n:].reshape(G, H, W, half)
+    return a0, a1
+
+
 def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
                    G, droppath):
     """Dual-branch block math on VALUES (refs already read), with the
@@ -725,6 +898,15 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
         return _block_tail_xt(x, a0, qkv_h, P, dp, G=G, H=H, W=W, C=C,
                               half=half, h2=h2, split=split, scale=scale,
                               droppath=droppath)
+    if (_use_bb(H, W)
+            and not (_ABLATE_SKIP_H or _ABLATE_SKIP_VT
+                     or _ABLATE_NO_LEPE_H or _ABLATE_NO_LEPE_V)):
+        a0, a1 = _dual_branch_bb(qkv_v, qkv_h, lk0, lb0, lk1, lb1, G=G, H=H,
+                                 W=W, half=half, h2=h2, split=split,
+                                 scale=scale)
+        return _block_tail_xt(x, a0, qkv_h, P, dp, G=G, H=H, W=W, C=C,
+                              half=half, h2=h2, split=split, scale=scale,
+                              droppath=droppath, a1=a1)
     # Vertical branch: (H, split) windows of the image are (split, H) row
     # bands of the transposed image — pure sublane reshapes, no transpose.
     qt = qkv_v[:, :half].reshape(G * nW, split * H, half)
@@ -746,13 +928,16 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
 
 
 def _block_tail_xt(x, a0, qkv_h, P, dp, *, G, H, W, C, half, h2, split, scale,
-                   droppath):
+                   droppath, a1=None):
     """Horizontal branch + proj + residual + MLP (shared by the production
-    body and the _ABLATE_SKIP_V pricing path)."""
+    body and the _ABLATE_SKIP_V pricing path). ``a1`` pre-computed by the
+    branch-batched path skips the per-branch horizontal computation."""
     (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
      projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b) = P
     # Horizontal branch: (split, W) windows are row bands of the image.
-    if _ABLATE_SKIP_H:
+    if a1 is not None:
+        pass
+    elif _ABLATE_SKIP_H:
         a1 = a0  # ablation only: wrong math, same shapes/op-mix
     else:
         q = qkv_h[:, :half].reshape(G, H, W, half)
@@ -936,22 +1121,40 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     qt = qkv_v[:, :half].reshape(G * nW, split * H, half)
     kt = qkv_v[:, half : 2 * half].reshape(G * nW, split * H, half)
     vt = qkv_v[:, 2 * half :].reshape(G * nW, split * H, half)
-    a0t = _attn_auto(qt, kt, vt, h2, scale)
-    lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0[...],
-                          lb0[...], swap=True)
-    a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32) + lepe0)
-    a0 = a0t.astype(x.dtype).reshape(G, W, H, half).transpose(0, 2, 1, 3)
+    qw = qkv_h[:, :half].reshape(G * nH, split * W, half)
+    kw = qkv_h[:, half : 2 * half].reshape(G * nH, split * W, half)
+    vw = qkv_h[:, 2 * half :].reshape(G * nH, split * W, half)
 
-    q = qkv_h[:, :half].reshape(G, H, W, half)
-    k = qkv_h[:, half : 2 * half].reshape(G, H, W, half)
-    v = qkv_h[:, 2 * half :].reshape(G, H, W, half)
-    winh = lambda t: t.reshape(G * nH, split * W, half)
-    qw, kw, vw = winh(q), winh(k), winh(v)
-    a1w = _attn_auto(qw, kw, vw, h2, scale)
-    lepe1 = _lepe_windows(vw.reshape(G * nH, split, W, half), lk1[...],
-                          lb1[...])
-    a1 = (a1w.reshape(G * nH, split, W, half).astype(jnp.float32) + lepe1)
-    a1 = a1.astype(x.dtype).reshape(G, H, W, half)
+    use_bb = _use_bb_bwd(H, W)
+    n_bb = G * nW
+    if use_bb:
+        # Branch-batched recompute: see _dual_branch_bb (H == W required).
+        q2 = jnp.concatenate([qt, qw], 0)
+        k2 = jnp.concatenate([kt, kw], 0)
+        v2 = jnp.concatenate([vt, vw], 0)
+        a2 = _attn_auto(q2, k2, v2, h2, scale)
+        lepe2 = _lepe_windows_dual(v2.reshape(2 * n_bb, split, H, half),
+                                   lk0[...], lb0[...], lk1[...], lb1[...],
+                                   n_bb)
+        o2 = (a2.reshape(2 * n_bb, split, H, half).astype(jnp.float32)
+              + lepe2)
+        a0 = (o2[:n_bb].astype(x.dtype).reshape(G, W, H, half)
+              .transpose(0, 2, 1, 3))
+        a1 = o2[n_bb:].astype(x.dtype).reshape(G, H, W, half)
+    else:
+        a0t = _attn_auto(qt, kt, vt, h2, scale)
+        lepe0 = _lepe_windows(vt.reshape(G * nW, split, H, half), lk0[...],
+                              lb0[...], swap=True)
+        a0t = (a0t.reshape(G * nW, split, H, half).astype(jnp.float32)
+               + lepe0)
+        a0 = a0t.astype(x.dtype).reshape(G, W, H, half).transpose(0, 2, 1, 3)
+
+        a1w = _attn_auto(qw, kw, vw, h2, scale)
+        lepe1 = _lepe_windows(vw.reshape(G * nH, split, W, half), lk1[...],
+                              lb1[...])
+        a1 = (a1w.reshape(G * nH, split, W, half).astype(jnp.float32)
+              + lepe1)
+        a1 = a1.astype(x.dtype).reshape(G, H, W, half)
 
     cat = jnp.concatenate([a0, a1], -1).reshape(GHW, C)
     att_pre = _dot(cat, projk[...], projb[...])
@@ -1017,13 +1220,34 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
     da0 = dcat[..., :half]
     da1 = dcat[..., half:]
 
-    # horizontal branch backward
     da1w = da1.reshape(G * nH, split * W, half)
-    dvw_l, dlk1g, dlb1g = _lepe_windows_bwd(
-        vw.reshape(G * nH, split, W, half),
-        da1w.reshape(G * nH, split, W, half), lk1[...])
-    dqw, dkw, dvw = _attn_bwd_auto(qw, kw, vw, da1w, h2, scale)
-    dvw = dvw + dvw_l.reshape(G * nH, split * W, half)
+    da0t = da0.transpose(0, 2, 1, 3).reshape(G * nW, split * H, half)
+    if use_bb:
+        # Branch-batched backward: one attention-vjp + one LePE-bwd roll
+        # pass over the stacked windows, grads sliced back per branch.
+        da2 = jnp.concatenate([da0t, da1w], 0)
+        dv2_l, dlk0g, dlb0g, dlk1g, dlb1g = _lepe_windows_bwd_dual(
+            v2.reshape(2 * n_bb, split, H, half),
+            da2.reshape(2 * n_bb, split, H, half), lk0[...], lk1[...], n_bb)
+        dq2, dk2, dv2 = _attn_bwd_auto(q2, k2, v2, da2, h2, scale)
+        dv2 = dv2 + dv2_l.reshape(2 * n_bb, split * H, half)
+        dqt, dqw = dq2[:n_bb], dq2[n_bb:]
+        dkt, dkw = dk2[:n_bb], dk2[n_bb:]
+        dvt, dvw = dv2[:n_bb], dv2[n_bb:]
+    else:
+        # horizontal branch backward
+        dvw_l, dlk1g, dlb1g = _lepe_windows_bwd(
+            vw.reshape(G * nH, split, W, half),
+            da1w.reshape(G * nH, split, W, half), lk1[...])
+        dqw, dkw, dvw = _attn_bwd_auto(qw, kw, vw, da1w, h2, scale)
+        dvw = dvw + dvw_l.reshape(G * nH, split * W, half)
+        # vertical branch backward (transposed coordinates; mirror of the
+        # forward's single in-kernel transpose)
+        dvt_l, dlk0g, dlb0g = _lepe_windows_bwd(
+            vt.reshape(G * nW, split, H, half),
+            da0t.reshape(G * nW, split, H, half), lk0[...], swap=True)
+        dqt, dkt, dvt = _attn_bwd_auto(qt, kt, vt, da0t, h2, scale)
+        dvt = dvt + dvt_l.reshape(G * nW, split * H, half)
     dlk1_ref[...] = dlk1g.reshape(dlk1_ref.shape)
     dlb1_ref[...] = dlb1g.reshape(dlb1_ref.shape)
     dqkv_h = jnp.concatenate(
@@ -1036,14 +1260,6 @@ def _block_bwd_kernel_xt(x_ref, xt_ref, do_ref, n1s, n1b, wqkv_h, bqkv_h,
                   preferred_element_type=jnp.float32)
     dx_h, dn1s_h, dn1b_h = _ln_bwd(x, dxn, n1s[...])
 
-    # vertical branch backward (transposed coordinates; mirror of the
-    # forward's single in-kernel transpose)
-    da0t = da0.transpose(0, 2, 1, 3).reshape(G * nW, split * H, half)
-    dvt_l, dlk0g, dlb0g = _lepe_windows_bwd(
-        vt.reshape(G * nW, split, H, half),
-        da0t.reshape(G * nW, split, H, half), lk0[...], swap=True)
-    dqt, dkt, dvt = _attn_bwd_auto(qt, kt, vt, da0t, h2, scale)
-    dvt = dvt + dvt_l.reshape(G * nW, split * H, half)
     dlk0_ref[...] = dlk0g.reshape(dlk0_ref.shape)
     dlb0_ref[...] = dlb0g.reshape(dlb0_ref.shape)
     dqkv_v = jnp.concatenate(

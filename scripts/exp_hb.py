@@ -34,6 +34,7 @@ STAGES = {
     23: dict(H=24, W=24, C=256, heads=8, split=12, last=False),
     24: dict(H=12, W=12, C=512, heads=16, split=12, last=True),
     22: dict(H=48, W=48, C=128, heads=4, split=2, last=False),
+    21: dict(H=96, W=96, C=96, heads=4, split=1, last=False),
 }
 
 

@@ -19,6 +19,17 @@ from cswin_unet_tpu.ops.pallas.cswin_block import (
 )
 
 
+@pytest.fixture(autouse=True)
+def _reset_bb_mode():
+    yield
+    import cswin_unet_tpu.ops.pallas.cswin_block as cbm
+
+    if cbm._BB_MODE != "auto":
+        cbm._BB_MODE = "auto"
+        cbm._fused_block_bwd_xt.clear_cache()
+        cbm._fused_block_fwd.clear_cache()
+
+
 def _params(rng, C, cb):
     def mk(*shape, s=0.1):
         return jnp.asarray(rng.standard_normal(shape).astype(np.float32) * s)
@@ -50,9 +61,13 @@ GEOMETRIES = [
 ]
 
 
+@pytest.mark.parametrize("bb", ["on", "off"])
 @pytest.mark.parametrize("use_xt", [True, False, "fold"])
 @pytest.mark.parametrize("H,W,C,heads,split,last,g", GEOMETRIES)
-def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt):
+def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt,
+                                      bb):
+    import cswin_unet_tpu.ops.pallas.cswin_block as cbm
+
     rng = np.random.default_rng(42)
     cb = C if last else C // 2
     params = _params(rng, C, cb)
@@ -60,10 +75,16 @@ def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt):
     x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
     scale = (C // heads) ** -0.5
 
-    fused = _fused_block_fwd(
-        x, params, H=H, W=W, C=C, heads=heads, split=split, last_stage=last,
-        scale=scale, qkv_bias=True, g_images=g, use_xt=use_xt,
-    )
+    old = cbm._BB_MODE
+    cbm._BB_MODE = bb
+    try:
+        fused = _fused_block_fwd.__wrapped__(
+            x, params, None, H=H, W=W, C=C, heads=heads, split=split,
+            last_stage=last, scale=scale, qkv_bias=True, g_images=g,
+            use_xt=use_xt,
+        )
+    finally:
+        cbm._BB_MODE = old
     ref = composed_block(x, params, H, W, C, heads, split, last, scale, True)
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5
@@ -183,10 +204,18 @@ def test_model_training_uses_fused_kernel():
     assert np.abs(np.asarray(y1) - np.asarray(y2)).max() > 1e-6
 
 
-def test_fused_bwd_kernel_matches_composed():
+@pytest.mark.parametrize("bb", ["on", "off"])
+def test_fused_bwd_kernel_matches_composed(bb):
     """reso >= 28 routes the custom_vjp to the hand-written fused backward
-    kernel (_fused_block_bwd_xt) — grads must match the composed oracle."""
+    kernel (_fused_block_bwd_xt) — grads must match the composed oracle
+    (in both branch-batch modes; _BB_MODE is trace-time so the jit cache
+    must be cleared between modes)."""
+    import cswin_unet_tpu.ops.pallas.cswin_block as cbm
     from cswin_unet_tpu.ops.pallas.cswin_block import fused_cswin_block
+
+    cbm._BB_MODE = bb
+    cbm._fused_block_bwd_xt.clear_cache()
+    cbm._fused_block_fwd.clear_cache()
 
     H, W, C, heads, split = 32, 32, 16, 2, 2
     rng = np.random.default_rng(11)
