@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _erf(z):
+def _erf_as(z):
     """Abramowitz-Stegun 7.1.26 rational erf (|err| <= 1.5e-7 — far below
     bf16 resolution); Mosaic lowers neither erf nor erfc."""
     sign = jnp.sign(z)
@@ -45,6 +45,40 @@ def _erf(z):
     poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
            + t * (-1.453152027 + t * 1.061405429))))
     return sign * (1.0 - poly * jnp.exp(-za * za))
+
+
+# Degree-16 power-basis coefficients on t = 2 z / B^2 - 1, z = x^2, for
+# erf(x)/x on [0, 3.92] (scripts/fit_erf_poly.py). f32 Horner max abs err
+# 1.67e-7 over the whole line — same floor as A&S 7.1.26 — with no exp and
+# no divide (both multi-pass transcendentals on the VPU).
+_ERF_B = 3.92
+_ERF_POLY_P = (
+    3.6073682140e-01, -1.8010857031e-01, 1.3408319547e-01,
+    -1.0918152164e-01, 9.0626834383e-02, -7.3993784239e-02,
+    5.8147685767e-02, -4.3565802707e-02, 3.0706313192e-02,
+    -1.9669507476e-02, 1.1993957703e-02, -8.0981929467e-03,
+    4.6074234714e-03, -1.0961954582e-03, 4.0654422314e-04,
+    -9.2498532863e-04, 4.3182910118e-04,
+)
+
+# erf formulation mode: "auto", "poly", "as". Experiments monkeypatch this.
+_ERF_MODE = "auto"
+
+
+def _erf(z):
+    """erf with |err| <= 1.7e-7. Routing (scripts/exp_sm2d.py erf, bs128
+    whole-block chains): the clamped odd polynomial (pure FMAs) beats the
+    A&S formula (exp + divide) everywhere the MLP is a visible share —
+    stage 1 is the big win (the 4C-wide GELU hidden dominates its VPU
+    time). Clamping at |x| = 3.92 is exact to f32: erfc(3.92) = 3e-8."""
+    if _ERF_MODE == "as":
+        return _erf_as(z)
+    zc = jnp.clip(z, -_ERF_B, _ERF_B)
+    t = zc * zc * (2.0 / (_ERF_B * _ERF_B)) - 1.0
+    acc = t * _ERF_POLY_P[-1] + _ERF_POLY_P[-2]
+    for pk in _ERF_POLY_P[-3::-1]:
+        acc = acc * t + pk
+    return zc * acc
 
 
 def _layernorm(x, scale, bias):
@@ -149,6 +183,61 @@ def _lepe_flat(c: int) -> bool:
     return True
 
 
+def _lepe_windows_2d(vw, lk, lb, swap=False):
+    """Depthwise 3x3 LePE on WINDOWED v, computed on the FULLY-FLATTENED
+    (n·L, C) view: every tap is ONE 2-D sublane concat shift of the whole
+    window stack (vs the 3-D form's per-window shift whose (L, C) trailing
+    tile pads L=98 -> 104 sublanes and re-issues per window). Rows pulled
+    across a window boundary by the flat shift are exactly the rows whose
+    in-window validity mask is zero — (i-di, j-dj) in-range implies the
+    source lies in the SAME window — so masking is unchanged. Same math as
+    ``_lepe_windows``."""
+    n, sp_h, sp_w, c = vw.shape
+    dt = vw.dtype
+    L = sp_h * sp_w
+    v2 = vw.reshape(n * L, c)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (n * L, 1), 0) % L
+    ii = rr // sp_w
+    jj = rr % sp_w
+    acc = v2 * lk[1, 1].astype(dt)
+    for di in (-1, 0, 1):
+        if abs(di) >= sp_h:
+            continue
+        for dj in (-1, 0, 1):
+            if (di == 0 and dj == 0) or abs(dj) >= sp_w:
+                continue
+            d = di * sp_w + dj
+            if d > 0:
+                s = jnp.concatenate([v2[:d] * 0, v2[:-d]], 0)
+            else:
+                s = jnp.concatenate([v2[-d:], v2[d:] * 0], 0)
+            tap = (lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]
+                   ).astype(dt)
+            ok = ((ii - di >= 0) & (ii - di < sp_h)
+                  & (jj - dj >= 0) & (jj - dj < sp_w)).astype(dt)
+            acc += s * (ok * tap)
+    return (acc + lb.astype(dt)).reshape(vw.shape)
+
+
+# LePE formulation mode: "auto" (measured routing), "3d", "2d". Experiments
+# monkeypatch this to A/B the flat-3D vs fully-flattened-2D tap shifts.
+_LEPE_MODE = "auto"
+
+
+def _lepe_2d_route(sp_h: int, L: int) -> bool:
+    """Measured routing for the 2-D flattened LePE (scripts/exp_sm2d.py,
+    bs128 whole-block chains): wins at every dual-branch geometry — stage 1
+    4.31 -> 4.19 ms, stage 2 1.89 -> 1.83, stage 3 1.06 -> 0.98, 48x48
+    2.63 -> 2.49, 96x96 13.20 -> 12.84 — the per-window 3-D shifts pay both
+    sublane padding (98 -> 104) and per-op issue overhead that the single
+    2-D concat does not. Last-stage full windows (7x7 / 12x12) keep the 3-D
+    form: sp_h == H there and the row-conv/flat split doesn't apply the
+    same way (0.58 ms measured equal)."""
+    if _LEPE_MODE != "auto":
+        return _LEPE_MODE == "2d"
+    return True
+
+
 def _lepe_windows(vw, lk, lb, swap=False):
     """Depthwise 3x3 LePE on WINDOWED v (n, sp_h, sp_w, C) -> same shape.
 
@@ -169,6 +258,8 @@ def _lepe_windows(vw, lk, lb, swap=False):
     # bf16 rounding of a 9-term positional-bias sum is far inside the
     # bf16 tolerance the composed-oracle comparison allows (0.06).
     dt = vw.dtype
+    if _lepe_2d_route(sp_h, sp_h * sp_w):
+        return _lepe_windows_2d(vw, lk, lb, swap=swap)
     if sp_h == 1:
         # 3-tap row conv via SUBLANE concat shifts on the 3-D view (no unit
         # dim next to the tiled dims, so Mosaic's concat lowering applies).
@@ -507,9 +598,30 @@ def _attn_windows_hb(q, k, v, heads, scale, merge=None):
         s = jax.lax.dot_general(qg, kb, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         s = s + smask
-        p = _hb_softmax(s, gh, S).astype(q.dtype)
-        outs.append(jax.lax.dot_general(p, vb, (((2,), (1,)), ((0,), (0,))),
-                                        preferred_element_type=jnp.float32))
+        if _sm_defer():
+            # Deferred normalization: the P@V dot runs on the UNNORMALIZED
+            # exp (values in [0, 1] — safe in bf16) and the per-row divide
+            # moves to the (L, Cg) output — one multiply over Cg = gh·d
+            # lanes instead of a divide+cast pass over the gh·S score
+            # lanes (4x wider at d=32, S=128). Exact same math: the
+            # denominator is a per-row constant through the linear dot.
+            ps, rds = [], []
+            for h in range(gh):
+                seg = s[:, :, h * S : (h + 1) * S]
+                e = jnp.exp(seg - jnp.max(seg, axis=-1, keepdims=True))
+                rds.append(1.0 / jnp.sum(e, axis=-1, keepdims=True))
+                ps.append(e.astype(q.dtype))
+            p = ps[0] if gh == 1 else jnp.concatenate(ps, -1)
+            ou = jax.lax.dot_general(p, vb, (((2,), (1,)), ((0,), (0,))),
+                                     preferred_element_type=jnp.float32)
+            rd = (rds[0] if gh == 1 else jnp.concatenate(
+                [jnp.broadcast_to(r, r.shape[:2] + (d,)) for r in rds], -1))
+            outs.append(ou * rd)
+        else:
+            p = _hb_softmax(s, gh, S).astype(q.dtype)
+            outs.append(jax.lax.dot_general(
+                p, vb, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))
     out = outs[0] if ng == 1 else jnp.concatenate(outs, -1)
     return out.astype(q.dtype).reshape(n0, L0, C2)
 
@@ -644,6 +756,22 @@ def _window_merge(n: int, L: int) -> int:
 # Experiments monkeypatch this to A/B the two attention formulations.
 _HB_MODE = "auto"
 
+# Softmax-normalization mode: "auto", "defer" (divide after the P@V dot),
+# "div" (normalize the probabilities). Experiments monkeypatch this.
+_SM_MODE = "auto"
+
+
+def _sm_defer() -> bool:
+    """Measured routing for deferred softmax normalization (scripts/
+    exp_sm2d.py, bs128 whole-block chains): wins or ties every geometry —
+    stage 3 1.06 -> 1.02 ms, stage 2 1.89 -> 1.86, stage 1 4.31 -> 4.27 —
+    the saved divide+cast pass over the score lanes always beats the added
+    (L, d) multiply. Forward-only: the backward recomputes normalized P
+    (it needs P itself for the vjp dots)."""
+    if _SM_MODE != "auto":
+        return _SM_MODE == "defer"
+    return True
+
 
 def _use_hb(L_merged: int, heads: int, d: int) -> bool:
     """Measured per-geometry routing between the per-head narrow dots
@@ -708,11 +836,20 @@ def _attn_windows(q, k, v, heads, scale, merge=None):
                                 preferred_element_type=jnp.float32)
         if mask is not None:
             s = s + mask
-        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-        outs.append(
-            jax.lax.dot_general(p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        )
+        if _sm_defer():
+            # Deferred normalization (see _attn_windows_hb): divide the
+            # (L, d) head output instead of the (L, L) probability tile.
+            e = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+            rd = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+            ou = jax.lax.dot_general(
+                e.astype(q.dtype), v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            outs.append(ou * rd)
+        else:
+            p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+            outs.append(jax.lax.dot_general(
+                p, v[:, :, sl], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32))
     out = outs[0] if heads == 1 else jnp.concatenate(outs, -1)
     return out.astype(q.dtype).reshape(n, L, C)
 

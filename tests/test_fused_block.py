@@ -116,6 +116,37 @@ def test_fused_block_pair_matches_two_composed(H, W, C, heads, split, g):
         np.asarray(got), np.asarray(want), rtol=5e-5, atol=5e-5)
 
 
+@pytest.mark.parametrize("lepe,sm,erf", [
+    ("3d", "div", "as"),      # the pre-routing legacy formulations
+    ("2d", "defer", "poly"),  # pinned current defaults (what "auto" routes)
+])
+@pytest.mark.parametrize("H,W,C,heads,split,last,g", GEOMETRIES)
+def test_formulation_modes_match_composed(H, W, C, heads, split, last, g,
+                                          lepe, sm, erf):
+    """Both sides of every measured formulation routing (2-D flat vs 3-D
+    LePE, deferred vs in-place softmax normalization, polynomial vs A&S
+    erf) stay parity-covered — 'auto' only ever picks between these."""
+    import cswin_unet_tpu.ops.pallas.cswin_block as cbm
+
+    rng = np.random.default_rng(3)
+    cb = C if last else C // 2
+    params = _params(rng, C, cb)
+    B = 2 * g
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    old = (cbm._LEPE_MODE, cbm._SM_MODE, cbm._ERF_MODE)
+    cbm._LEPE_MODE, cbm._SM_MODE, cbm._ERF_MODE = lepe, sm, erf
+    try:
+        fused = _fused_block_fwd.__wrapped__(
+            x, params, None, H=H, W=W, C=C, heads=heads, split=split,
+            last_stage=last, scale=scale, qkv_bias=True, g_images=g)
+    finally:
+        cbm._LEPE_MODE, cbm._SM_MODE, cbm._ERF_MODE = old
+    ref = composed_block(x, params, H, W, C, heads, split, last, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
 def test_fused_block_bf16_close():
     """bf16 activations: fused and composed agree to bf16 resolution."""
     H, W, C, heads, split = 8, 8, 16, 2, 2
