@@ -223,6 +223,23 @@ def _lepe_windows_2d(vw, lk, lb, swap=False):
 # monkeypatch this to A/B the flat-3D vs fully-flattened-2D tap shifts.
 _LEPE_MODE = "auto"
 
+# MXU-matmul LePE mode: "auto" (measured routing), "mm", "shift".
+_LEPE_MM_MODE = "auto"
+
+
+def _lepe_mm_route(sp_h: int, sp_w: int, c: int) -> bool:
+    """Measured routing for the matmul LePE (scripts/exp_lepe_mm.py
+    isolated: s3 0.685 -> 0.197 ms, s2 2.00 -> 0.57, s1 4.23 -> 1.56;
+    scripts/exp_lepe_mm2.py in-situ whole-block chains, bs128:
+    stage 1 4.27 -> 3.07 ms, stage 2 1.83 -> 1.26, stage 3 0.98 -> 0.75,
+    stage 4 full-window 0.58 -> 0.55, 384-geometry 96x96 12.8 -> 11.5,
+    48x48 2.49 -> 1.85, 24x24 1.25 -> 0.98: wins everywhere — every
+    shift form pays non-8-aligned sublane concat shifts on the VPU that
+    the constant-matrix MXU dot does not."""
+    if _LEPE_MM_MODE != "auto":
+        return _LEPE_MM_MODE == "mm"
+    return True
+
 
 def _lepe_2d_route(sp_h: int, L: int) -> bool:
     """Measured routing for the 2-D flattened LePE (scripts/exp_sm2d.py,
@@ -258,6 +275,8 @@ def _lepe_windows(vw, lk, lb, swap=False):
     # bf16 rounding of a 9-term positional-bias sum is far inside the
     # bf16 tolerance the composed-oracle comparison allows (0.06).
     dt = vw.dtype
+    if _lepe_mm_route(sp_h, sp_w, c):
+        return _lepe_windows_mm(vw, lk, lb, swap=swap)
     if _lepe_2d_route(sp_h, sp_h * sp_w):
         return _lepe_windows_2d(vw, lk, lb, swap=swap)
     if sp_h == 1:
@@ -316,6 +335,91 @@ def _lepe_windows(vw, lk, lb, swap=False):
     return (acc + lb.astype(dt)).reshape(vw.shape)
 
 
+def _lepe_mm_taps(sp_h: int, sp_w: int):
+    """The in-window 3x3 tap offsets (row conv when sp_h == 1)."""
+    return [(di, dj) for di in (-1, 0, 1) if abs(di) < sp_h
+            for dj in (-1, 0, 1) if abs(dj) < sp_w]
+
+
+def _lepe_mm_A(sp_h: int, sp_w: int, nt_L: int, dt):
+    """Constant 0/1 shift+boundary matrix for the MXU LePE: A (L, nt*L)
+    with A[r, t*L + r - o_t] = 1 iff tap t's source pixel for row r lies
+    inside the window (o_t = di*sp_w + dj). Built from iota so Mosaic sees
+    no materialized array constant; the whole build constant-folds outside
+    the kernel when called at trace level."""
+    L = sp_h * sp_w
+    taps = _lepe_mm_taps(sp_h, sp_w)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (L, nt_L), 0)
+    mm = jax.lax.broadcasted_iota(jnp.int32, (L, nt_L), 1)
+    tt = mm // L
+    lp = mm % L
+    ii = rr // sp_w
+    jj = rr % sp_w
+    A = None
+    for ti, (di, dj) in enumerate(taps):
+        ok = ((tt == ti) & (lp == rr - (di * sp_w + dj))
+              & (ii - di >= 0) & (ii - di < sp_h)
+              & (jj - dj >= 0) & (jj - dj < sp_w))
+        A = ok if A is None else (A | ok)
+    return A.astype(dt)
+
+
+def _lepe_windows_mm(vw, lk, lb, swap=False):
+    """Depthwise 3x3 LePE as ONE batched MXU dot — zero shifts.
+
+    The shift formulations (flat/2-D above) pay 9 non-8-aligned sublane
+    concat shifts on the VPU: 0.746 ms at the stage-3 branch geometry
+    where the whole attention core is 0.153 ms (scripts/exp_attn3.py).
+    Here every tap's shift AND boundary mask live in a constant 0/1
+    matrix: out = A @ Vw, with Vw the nt channel-weighted copies of v
+    stacked on sublanes (pure FMAs, no shifts) and A (L, nt*L) selecting
+    tap t's source row r - o_t. The ~nt*L dense contraction inflates
+    FLOPs ~100x over the stencil, but they ride the MXU at >100x the
+    shift path's effective rate. Same math as ``_lepe_windows``
+    (f32 accumulation via the dot instead of sequential bf16 adds)."""
+    n, sp_h, sp_w, c = vw.shape
+    dt = vw.dtype
+    L = sp_h * sp_w
+    taps = _lepe_mm_taps(sp_h, sp_w)
+    v2 = vw.reshape(n, L, c)
+    ws = [(lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]).astype(dt)
+          for di, dj in taps]
+    Vw = jnp.concatenate([v2 * w for w in ws], axis=1)
+    A = _lepe_mm_A(sp_h, sp_w, len(taps) * L, dt)
+    Ab = jnp.broadcast_to(A[None], (n,) + A.shape)
+    out = jax.lax.dot_general(Ab, Vw, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return (out + lb.astype(jnp.float32)).astype(dt).reshape(vw.shape)
+
+
+def _lepe_windows_dual_mm(vw, lk0, lb0, lk1, lb1, n):
+    """Branch-stacked MXU LePE (see ``_lepe_windows_mm``): the per-tap
+    channel weight is where-selected per row group (rows [0, n) vertical
+    branch — transposed lk0 taps; [n, 2n) horizontal — lk1), the constant
+    A matrix is branch-independent. Same math as ``_lepe_windows_dual``."""
+    n2, sp_h, sp_w, c = vw.shape
+    dt = vw.dtype
+    L = sp_h * sp_w
+    taps = _lepe_mm_taps(sp_h, sp_w)
+    gsel = jax.lax.broadcasted_iota(jnp.int32, (n2, 1, 1), 0) < n
+    v2 = vw.reshape(n2, L, c)
+
+    def tap(di, dj):
+        tv = jnp.broadcast_to(lk0[1 - dj, 1 - di].astype(dt), (n2, 1, c))
+        th = jnp.broadcast_to(lk1[1 - di, 1 - dj].astype(dt), (n2, 1, c))
+        return jnp.where(gsel, tv, th)
+
+    Vw = jnp.concatenate([v2 * tap(di, dj) for di, dj in taps], axis=1)
+    A = _lepe_mm_A(sp_h, sp_w, len(taps) * L, dt)
+    Ab = jnp.broadcast_to(A[None], (n2,) + A.shape)
+    out = jax.lax.dot_general(Ab, Vw, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    bias = jnp.where(
+        gsel, jnp.broadcast_to(lb0.astype(jnp.float32), (n2, 1, c)),
+        jnp.broadcast_to(lb1.astype(jnp.float32), (n2, 1, c)))
+    return (out + bias).astype(dt).reshape(vw.shape)
+
+
 def _lepe_windows_dual(vw, lk0, lb0, lk1, lb1, n):
     """Flat row-shift LePE on BRANCH-STACKED windows (2n, sp_h, sp_w, C):
     rows [0, n) are the vertical branch (transposed coordinates — swapped
@@ -326,6 +430,9 @@ def _lepe_windows_dual(vw, lk0, lb0, lk1, lb1, n):
     n2, sp_h, sp_w, c = vw.shape
     dt = vw.dtype
     gsel = jax.lax.broadcasted_iota(jnp.int32, (n2, 1, 1), 0) < n
+
+    if _lepe_mm_route(sp_h, sp_w, c):
+        return _lepe_windows_dual_mm(vw, lk0, lb0, lk1, lb1, n)
 
     def tap(di, dj):
         tv = jnp.broadcast_to(lk0[1 - dj, 1 - di].astype(dt), (n2, 1, c))
