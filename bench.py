@@ -224,19 +224,29 @@ BLOCK_GEOMETRIES = {
 }
 
 
-def bench_check(batch=8, geometries=None):
-    """On-TPU kernel regression check: compile every fused kernel on the
-    real backend (Mosaic, NOT interpret mode) and compare against the XLA
-    composition at bf16 tolerance. The interpret-mode unit tests validate
-    the math; this validates the Mosaic LOWERING — the class of silent
-    breakage ROADMAP.md's landmine list documents. Prints one
-    {"metric": "kernel_parity", "ok": ...} line; exit code reflects it."""
+def bench_check(batch=8, geometries=None, include_broken=False):
+    """On-TPU kernel regression check: compile EVERY Pallas entry point on
+    the real backend (Mosaic, NOT interpret mode) — production routes AND
+    the alternate modes a route flip could select — and compare each
+    against its XLA composition at bf16 tolerance. The interpret-mode unit
+    tests validate the math; this validates the Mosaic LOWERING — the
+    class of silent breakage that shipped a TPU-crashing HEAD in round 3.
+    Coverage: fused block fwd+bwd at all 8 production geometries, the
+    fold/pair/branch-batched block modes, both shift-LePE formulations,
+    the CARAFE tail/up kernels, the fused-argmax tail, the standalone
+    stripe-attention kernel (all 3 orientations), and the Pallas EDT
+    volume metrics. ``include_broken`` additionally compiles modes that
+    are documented non-compiling (currently the MXU-LePE mm form).
+    Prints one {"metric": "kernel_parity", "ok": ...} line."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
+    import cswin_unet_tpu.ops.pallas.cswin_block as cb
     from cswin_unet_tpu.ops.carafe import carafe, carafe_with_classifier
-    from cswin_unet_tpu.ops.pallas.carafe_tail import (carafe_fused_pallas,
-                                                       carafe_tail_pallas)
+    from cswin_unet_tpu.ops.pallas.carafe_tail import (
+        carafe_fused_pallas, carafe_tail_argmax_pallas, carafe_tail_pallas)
     from cswin_unet_tpu.ops.pallas.cswin_block import (_fused_block_bwd_xt,
                                                        _fused_block_fwd,
                                                        composed_block)
@@ -254,8 +264,29 @@ def bench_check(batch=8, geometries=None):
         want = np.asarray(want, np.float32)
         err = float(np.linalg.norm(got - want)
                     / max(float(np.linalg.norm(want)), 1e-12))
-        if not np.isfinite(err) or err > tol:
+        ok = np.isfinite(err) and err <= tol
+        # Progress to stderr: cold compiles over the tunnel take minutes;
+        # without this a hung/failed compile is indistinguishable from work.
+        print(f"[check] {name}: rel_err={err:.2e} "
+              f"{'ok' if ok else 'FAIL'}", file=sys.stderr, flush=True)
+        if not ok:
             failures.append({"check": name, "rel_err": round(err, 6)})
+
+    def unit(name, fn):
+        """Run one check body; an EXCEPTION (compile abort, VMEM OOM,
+        tunnel death) is a RECORDED failure of that unit, and the gate
+        moves on to the next — one broken kernel must not hide the state
+        of every other (round-3 postmortem: the first crash aborted the
+        whole check, so nothing downstream was ever exercised)."""
+        nonlocal checks
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — the failure IS the finding
+            checks += 1
+            msg = str(e).replace("\n", " | ")[:200]
+            failures.append({"check": name, "error": msg})
+            print(f"[check] {name}: EXCEPTION {msg}", file=sys.stderr,
+                  flush=True)
 
     def block_params(C, last):
         cb_ = C if last else C // 2
@@ -269,13 +300,16 @@ def bench_check(batch=8, geometries=None):
         params = block_params(C, last)
         scale = (C // heads) ** -0.5
         x = mk(batch, H, W, C, sc=1.0).astype(jnp.bfloat16)
-        fused = jax.jit(lambda xx, pp: _fused_block_fwd(
-            xx, pp, H=H, W=W, C=C, heads=heads, split=split,
-            last_stage=last, scale=scale, qkv_bias=True))(x, params)
-        ref = jax.jit(lambda xx, pp: composed_block(
-            xx, pp, H, W, C, heads, split, last, scale, True))(x, params)
-        close(f"block_fwd:{name}", fused, ref, 0.02)
-        if not last:
+
+        def fwd_unit():
+            fused = jax.jit(lambda xx, pp: _fused_block_fwd(
+                xx, pp, H=H, W=W, C=C, heads=heads, split=split,
+                last_stage=last, scale=scale, qkv_bias=True))(x, params)
+            ref = jax.jit(lambda xx, pp: composed_block(
+                xx, pp, H, W, C, heads, split, last, scale, True))(x, params)
+            close(f"block_fwd:{name}", fused, ref, 0.02)
+
+        def bwd_unit():
             dout = mk(batch, H, W, C, sc=1.0)
             dxf, dpf, _ = jax.jit(lambda xx, pp, dd: _fused_block_bwd_xt(
                 xx, pp, None, dd, H=H, W=W, C=C, heads=heads, split=split,
@@ -288,6 +322,10 @@ def bench_check(batch=8, geometries=None):
             for i, (gf, gr) in enumerate(zip(dpf, dpr)):
                 close(f"block_bwd_dp{i}:{name}", gf, gr, 0.02)
 
+        unit(f"block_fwd:{name}", fwd_unit)
+        if not last:
+            unit(f"block_bwd:{name}", bwd_unit)
+
     # CARAFE4 + classifier tail at the tiny/224 shape (reso 56 -> 224, NC 9)
     C, NC = 64, 9
     tp = dict(down_kernel=mk(1, 1, C, C // 4), down_bias=mk(C // 4),
@@ -295,13 +333,17 @@ def bench_check(batch=8, geometries=None):
               out_kernel=mk(1, 1, C, C), out_bias=mk(C),
               cls_kernel=mk(1, 1, C, NC))
     xt = mk(2, 56, 56, C, sc=1.0).astype(jnp.bfloat16)
-    got = jax.jit(lambda xx: carafe_tail_pallas(
-        xx, tp["down_kernel"], tp["down_bias"], tp["encoder_kernel"],
-        tp["encoder_bias"], tp["out_kernel"], tp["out_bias"],
-        tp["cls_kernel"], up_factor=4))(xt)
-    want = jax.jit(lambda xx: carafe_with_classifier(
-        xx, **tp, kernel_size=3, up_factor=4))(xt)
-    close("carafe_tail@56", got, want, 0.02)
+
+    def carafe_tail_unit():
+        got = jax.jit(lambda xx: carafe_tail_pallas(
+            xx, tp["down_kernel"], tp["down_bias"], tp["encoder_kernel"],
+            tp["encoder_bias"], tp["out_kernel"], tp["out_bias"],
+            tp["cls_kernel"], up_factor=4))(xt)
+        want = jax.jit(lambda xx: carafe_with_classifier(
+            xx, **tp, kernel_size=3, up_factor=4))(xt)
+        close("carafe_tail@56", got, want, 0.02)
+
+    unit("carafe_tail@56", carafe_tail_unit)
 
     # Decoder CARAFE upsampler at the fused site (reso 28 -> 56, up 2)
     C, CO = 256, 128
@@ -309,13 +351,142 @@ def bench_check(batch=8, geometries=None):
               encoder_kernel=mk(3, 3, C // 4, 4 * 9), encoder_bias=mk(4 * 9),
               out_kernel=mk(1, 1, C, CO), out_bias=mk(CO))
     xu = mk(2, 28, 28, C, sc=1.0).astype(jnp.bfloat16)
-    got = jax.jit(lambda xx: carafe_fused_pallas(
-        xx, up["down_kernel"], up["down_bias"], up["encoder_kernel"],
-        up["encoder_bias"], up["out_kernel"], up["out_bias"],
-        up_factor=2))(xu)
-    want = jax.jit(lambda xx: carafe(
-        xx, **up, kernel_size=3, up_factor=2, impl="fast"))(xu)
-    close("carafe_up@28", got, want, 0.02)
+
+    def carafe_up_unit():
+        got = jax.jit(lambda xx: carafe_fused_pallas(
+            xx, up["down_kernel"], up["down_bias"], up["encoder_kernel"],
+            up["encoder_bias"], up["out_kernel"], up["out_bias"],
+            up_factor=2))(xu)
+        want = jax.jit(lambda xx: carafe(
+            xx, **up, kernel_size=3, up_factor=2, impl="fast"))(xu)
+        close("carafe_up@28", got, want, 0.02)
+
+    unit("carafe_up@28", carafe_up_unit)
+
+    # Fused-argmax tail (the production eval emit='labels' route): labels
+    # must match the composition's argmax EXACTLY (integer compare).
+    def argmax_unit():
+        nonlocal checks
+        lab = jax.jit(lambda xx: carafe_tail_argmax_pallas(
+            xx, tp["down_kernel"], tp["down_bias"], tp["encoder_kernel"],
+            tp["encoder_bias"], tp["out_kernel"], tp["out_bias"],
+            tp["cls_kernel"], up_factor=4))(xt)
+        want_lab = jnp.argmax(jax.jit(lambda xx: carafe_with_classifier(
+            xx, **tp, kernel_size=3, up_factor=4))(xt), axis=-1)
+        checks += 1
+        mism = int(np.sum(np.asarray(lab) != np.asarray(want_lab)))
+        # bf16 logit ties can flip an argmax on a handful of pixels;
+        # anything beyond a few in 2*224*224 is a lowering bug, not rounding.
+        print(f"[check] carafe_tail_argmax@56: mismatches={mism} "
+              f"{'ok' if mism <= 8 else 'FAIL'}", file=sys.stderr, flush=True)
+        if mism > 8:
+            failures.append(
+                {"check": "carafe_tail_argmax@56", "mismatches": mism})
+
+    unit("carafe_tail_argmax@56", argmax_unit)
+
+    # Standalone stripe-attention kernel, all 3 orientations (the
+    # attn_impl='pallas' route + the composed-model building block).
+    from cswin_unet_tpu.ops.attention import cswin_attention_xla
+    from cswin_unet_tpu.ops.pallas.cswin_attention import \
+        cswin_attention_pallas
+
+    for aname, (H, W, Ca, nh, hsp, wsp) in {
+        "attn_h@28": (28, 28, 64, 2, 2, 28),
+        "attn_v@28": (28, 28, 64, 2, 28, 2),
+        "attn_full@7": (7, 7, 512, 16, 7, 7),
+    }.items():
+
+        def attn_unit():
+            q, k, v = (mk(batch, H, W, Ca, sc=1.0).astype(jnp.bfloat16)
+                       for _ in range(3))
+            lk = mk(3, 3, 1, Ca)
+            lb = mk(Ca)
+            sc_ = (Ca // nh) ** -0.5
+            got = jax.jit(lambda q, k, v, lk, lb: cswin_attention_pallas(
+                q, k, v, lk, lb, hsp, wsp, nh, sc_))(q, k, v, lk, lb)
+            want = jax.jit(lambda q, k, v, lk, lb: cswin_attention_xla(
+                q, k, v, lk, lb, h_sp=hsp, w_sp=wsp, num_heads=nh,
+                scale=sc_))(q, k, v, lk, lb)
+            close(aname, got, want, 0.02)
+
+        unit(aname, attn_unit)
+
+    # Pallas EDT volume metrics vs the host (numpy/scipy-parity) metrics.
+    from cswin_unet_tpu.metrics import volume_metrics
+    from cswin_unet_tpu.ops.edt import volume_metrics_device
+
+    def edt_unit():
+        vol_rng = np.random.default_rng(7)
+        pred_v = (vol_rng.integers(0, 4, size=(4, 48, 48)) *
+                  (vol_rng.random((4, 48, 48)) > 0.4)).astype(np.int32)
+        gt_v = (vol_rng.integers(0, 4, size=(4, 48, 48)) *
+                (vol_rng.random((4, 48, 48)) > 0.4)).astype(np.int32)
+        got_m = np.asarray(jax.jit(
+            lambda p, g: volume_metrics_device(p, g, 4))(
+                jnp.asarray(pred_v), jnp.asarray(gt_v)))
+        want_m = np.asarray(volume_metrics(pred_v, gt_v, 4), np.float32)
+        close("edt_volume_metrics", got_m, want_m, 1e-4)
+
+    unit("edt_volume_metrics", edt_unit)
+
+    # Non-default block modes: every formulation a route constant can
+    # select must COMPILE and match — a broken alternate mode turns a
+    # future route flip into a crash at HEAD (round-3 postmortem). The
+    # module flags are not part of _fused_block_fwd's jit cache key, so
+    # each flip re-jits via __wrapped__.
+    def fwd_fresh(x, params, **kw):
+        return jax.jit(functools.partial(
+            _fused_block_fwd.__wrapped__, **kw))(x, params)
+
+    H, W, C, heads, split, last = BLOCK_GEOMETRIES["224-s3"]
+    params3 = block_params(C, last)
+    scale3 = (C // heads) ** -0.5
+    x3 = mk(batch, H, W, C, sc=1.0).astype(jnp.bfloat16)
+    ref3 = jax.jit(lambda xx, pp: composed_block(
+        xx, pp, H, W, C, heads, split, last, scale3, True))(x3, params3)
+    kw3 = dict(H=H, W=W, C=C, heads=heads, split=split, last_stage=last,
+               scale=scale3, qkv_bias=True)
+    unit("block_fold:224-s3", lambda: close(
+        "block_fold:224-s3",
+        fwd_fresh(x3, params3, use_xt="fold", **kw3), ref3, 0.02))
+
+    def pair_unit():
+        pair_out = jax.jit(
+            lambda xx, p1, p2: cb._fused_block_pair_fwd.__wrapped__(
+                xx, p1, p2, H=H, W=W, C=C, heads=heads, split=split,
+                scale=scale3, qkv_bias=True))(x3, params3, params3)
+        pair_ref = jax.jit(lambda xx, pp: composed_block(
+            composed_block(xx, pp, H, W, C, heads, split, last, scale3, True),
+            pp, H, W, C, heads, split, last, scale3, True))(x3, params3)
+        close("block_pair:224-s3", pair_out, pair_ref, 0.03)
+
+    unit("block_pair:224-s3", pair_unit)
+
+    def with_mode(name, attr, value, fn):
+        saved = getattr(cb, attr)
+        setattr(cb, attr, value)
+        try:
+            unit(name, fn)
+        finally:
+            setattr(cb, attr, saved)
+
+    Hs, Ws, Cs, hs, ss, ls = BLOCK_GEOMETRIES["224-s2"]
+    params2 = block_params(Cs, ls)
+    scale2 = (Cs // hs) ** -0.5
+    x2 = mk(batch, Hs, Ws, Cs, sc=1.0).astype(jnp.bfloat16)
+    ref2 = jax.jit(lambda xx, pp: composed_block(
+        xx, pp, Hs, Ws, Cs, hs, ss, ls, scale2, True))(x2, params2)
+    kw2 = dict(H=Hs, W=Ws, C=Cs, heads=hs, split=ss, last_stage=ls,
+               scale=scale2, qkv_bias=True)
+    with_mode("block_bb_on:224-s2", "_BB_MODE", "on", lambda: close(
+        "block_bb_on:224-s2", fwd_fresh(x2, params2, **kw2), ref2, 0.02))
+    with_mode("block_lepe3d:224-s2", "_LEPE_MODE", "3d", lambda: close(
+        "block_lepe3d:224-s2", fwd_fresh(x2, params2, **kw2), ref2, 0.02))
+    if include_broken:
+        with_mode("block_lepe_mm:224-s2", "_LEPE_MM_MODE", "mm",
+                  lambda: close("block_lepe_mm:224-s2",
+                                fwd_fresh(x2, params2, **kw2), ref2, 0.02))
 
     ok = not failures
     line = {"metric": "kernel_parity", "ok": ok, "checks": checks,
@@ -373,10 +544,17 @@ def main():
             metric="slices384_per_sec_per_chip",
             baseline=A100_BS1_BASELINE / 4.0,  # ~9.4x FLOPs, bs1 A100 est.
             model_fn=_base384, img=384))
-    if mode in ("all", "check"):
+    if mode == "all":
         # Mosaic-lowering regression gate: compiles every fused kernel on
         # the REAL backend and diffs against the XLA composition.
         guarded("kernel_parity", bench_check)
+    elif mode == "check":
+        # Explicit gate mode (scripts/pre_land.sh): an infrastructure
+        # failure (e.g. the flaky remote-compile helper dying mid-run)
+        # must FAIL the gate, not be swallowed — an incomplete check is
+        # not a passed check. A parity failure also exits nonzero.
+        if not bench_check():
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -228,17 +228,16 @@ _LEPE_MM_MODE = "auto"
 
 
 def _lepe_mm_route(sp_h: int, sp_w: int, c: int) -> bool:
-    """Measured routing for the matmul LePE (scripts/exp_lepe_mm.py
-    isolated: s3 0.685 -> 0.197 ms, s2 2.00 -> 0.57, s1 4.23 -> 1.56;
-    scripts/exp_lepe_mm2.py in-situ whole-block chains, bs128:
-    stage 1 4.27 -> 3.07 ms, stage 2 1.83 -> 1.26, stage 3 0.98 -> 0.75,
-    stage 4 full-window 0.58 -> 0.55, 384-geometry 96x96 12.8 -> 11.5,
-    48x48 2.49 -> 1.85, 24x24 1.25 -> 0.98: wins everywhere — every
-    shift form pays non-8-aligned sublane concat shifts on the VPU that
-    the constant-matrix MXU dot does not."""
+    """Measured routing for the matmul LePE. OFF in production: the mm
+    formulation wins isolated (scripts/exp_lepe_mm.py: s3 0.685 -> 0.197
+    ms, s2 2.00 -> 0.57, s1 4.23 -> 1.56) but its lowering inside the
+    fused block kernel crashes the XLA:TPU compiler at every stage
+    geometry ("Check failed: limits[i] <= dim(i)"), so until the in-situ
+    form compiles and is re-measured the shift formulations stay the
+    default everywhere."""
     if _LEPE_MM_MODE != "auto":
         return _LEPE_MM_MODE == "mm"
-    return True
+    return False
 
 
 def _lepe_2d_route(sp_h: int, L: int) -> bool:
@@ -387,8 +386,14 @@ def _lepe_windows_mm(vw, lk, lb, swap=False):
     Vw = jnp.concatenate([v2 * w for w in ws], axis=1)
     A = _lepe_mm_A(sp_h, sp_w, len(taps) * L, dt)
     Ab = jnp.broadcast_to(A[None], (n,) + A.shape)
+    # HIGHEST precision for f32 activations: the default reduced matmul
+    # precision computes the dot at ~2e-2 vs the exact stencil on the
+    # accelerator, which would break the f32 parity oracles; bf16
+    # production inputs take the fast path regardless.
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
     out = jax.lax.dot_general(Ab, Vw, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
     return (out + lb.astype(jnp.float32)).astype(dt).reshape(vw.shape)
 
 
@@ -412,8 +417,10 @@ def _lepe_windows_dual_mm(vw, lk0, lb0, lk1, lb1, n):
     Vw = jnp.concatenate([v2 * tap(di, dj) for di, dj in taps], axis=1)
     A = _lepe_mm_A(sp_h, sp_w, len(taps) * L, dt)
     Ab = jnp.broadcast_to(A[None], (n2,) + A.shape)
+    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
     out = jax.lax.dot_general(Ab, Vw, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=prec)
     bias = jnp.where(
         gsel, jnp.broadcast_to(lb0.astype(jnp.float32), (n2, 1, c)),
         jnp.broadcast_to(lb1.astype(jnp.float32), (n2, 1, c)))

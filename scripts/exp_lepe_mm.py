@@ -110,8 +110,19 @@ def main():
         G, NW, sph, spw, c = GEOS[nm]
         print(f"{nm}: {B // G} programs x {NW} windows of "
               f"({sph}x{spw},{c})", flush=True)
-        run(f"{nm} flat", functools.partial(k_flat, sph=sph, spw=spw, c=c),
-            G, NW, sph, spw, c)
+        # Pin the shift formulation for BOTH parity and the flat arm —
+        # _lepe_windows routes by _LEPE_MM_MODE, and were mm ever the
+        # "auto" default, the flat arm would silently price mm vs mm and
+        # check() would compare mm against itself.
+        saved = cb._LEPE_MM_MODE
+        cb._LEPE_MM_MODE = "shift"
+        try:
+            check(sph, spw, c)
+            run(f"{nm} flat",
+                functools.partial(k_flat, sph=sph, spw=spw, c=c),
+                G, NW, sph, spw, c)
+        finally:
+            cb._LEPE_MM_MODE = saved
         run(f"{nm} mm", functools.partial(k_mm, sph=sph, spw=spw, c=c),
             G, NW, sph, spw, c)
 

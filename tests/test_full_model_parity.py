@@ -158,6 +158,43 @@ def test_full_model_logit_parity(ref_model, our_model):
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=2e-4)
 
 
+def test_full_model_logit_parity_224(ref_mod):
+    """Production-RESOLUTION parity: img 224 with the tiny config's split
+    sizes (1/2/7/7) pins the exact production window geometries — 56²
+    sp=1 stripes, 28² sp=2, 14² (7,14) stripes, 7² full windows — none of
+    which the 64² GEOM exercises (its stage 3 degenerates to reso==split).
+    depth=1 per stage keeps the CPU f32 compile affordable; per-block math
+    is depth-independent, and the 21-deep production stack is covered by
+    the oracle tests + the real-checkpoint import test."""
+    import jax.numpy as jnp
+    import torch
+
+    from cswin_unet_tpu.models import CSWinUNet
+
+    geom = dict(
+        img_size=224, in_chans=3, num_classes=9, embed_dim=64,
+        depth=[1, 1, 1, 1], split_size=[1, 2, 7, 7], num_heads=[2, 4, 8, 16],
+    )
+    torch.manual_seed(1)
+    ref224 = ref_mod.CSWinTransformer(drop_path_rate=0.0, **geom).eval()
+    ours224 = CSWinUNet(
+        img_size=224, in_chans=3, num_classes=9, embed_dim=64,
+        depth=(1, 1, 1, 1), split_size=(1, 2, 7, 7), num_heads=(2, 4, 8, 16),
+        drop_path_rate=0.0, dtype=jnp.float32, attn_impl="xla",
+    )
+    saved_geom = dict(GEOM)
+    GEOM.update(geom)
+    try:
+        ref_out, our_out = _forward_both(
+            ref224, ours224, _import_state(ours224, ref224.state_dict()),
+            batch=1)
+    finally:
+        GEOM.clear()
+        GEOM.update(saved_geom)
+    assert ref_out.shape == our_out.shape == (1, 9, 224, 224)
+    np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=5e-4)
+
+
 def test_load_from_mirroring_parity(ref_model, our_model, tmp_path):
     """Encoder-only pretrain checkpoint (envelope + module. prefixes, like a
     real CSWin-tiny ImageNet ckpt) through our load_from_pretrained vs the
