@@ -537,10 +537,18 @@ def bench_check(batch=8, geometries=None, include_broken=False):
         "block_bb_on:224-s2", fwd_fresh(x2, params2, **kw2), ref2, 0.02))
     with_mode("block_lepe3d:224-s2", "_LEPE_MODE", "3d", lambda: close(
         "block_lepe3d:224-s2", fwd_fresh(x2, params2, **kw2), ref2, 0.02))
+    # The mm LePE is the PRODUCTION route at s2/s4 geometries (fwd + bwd),
+    # so the default block_fwd/block_bwd units above already compile it;
+    # these pin the NON-default formulation at s2 (shift) so a route flip
+    # back can never ship uncompiled, and the mm route at a geometry where
+    # shift is default (s3) when include_broken asks for exhaustive modes.
+    with_mode("block_lepe_shift:224-s2", "_LEPE_MM_MODE", "shift",
+              lambda: close("block_lepe_shift:224-s2",
+                            fwd_fresh(x2, params2, **kw2), ref2, 0.02))
     if include_broken:
-        with_mode("block_lepe_mm:224-s2", "_LEPE_MM_MODE", "mm",
-                  lambda: close("block_lepe_mm:224-s2",
-                                fwd_fresh(x2, params2, **kw2), ref2, 0.02))
+        with_mode("block_lepe_mm:224-s3", "_LEPE_MM_MODE", "mm",
+                  lambda: close("block_lepe_mm:224-s3",
+                                fwd_fresh(x3, params3, **kw3), ref3, 0.02))
 
     ok = not failures
     line = {"metric": "kernel_parity", "ok": ok, "checks": checks,

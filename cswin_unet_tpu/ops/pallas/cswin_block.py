@@ -225,18 +225,37 @@ _LEPE_MODE = "auto"
 
 # MXU-matmul LePE mode: "auto" (measured routing), "mm", "shift".
 _LEPE_MM_MODE = "auto"
+# Backward-pass override: same values; "auto" defers to its own rule.
+_LEPE_MM_BWD_MODE = "auto"
 
 
 def _lepe_mm_route(sp_h: int, sp_w: int, c: int) -> bool:
-    """Measured routing for the matmul LePE. OFF in production: the mm
-    formulation wins isolated (scripts/exp_lepe_mm.py: s3 0.685 -> 0.197
-    ms, s2 2.00 -> 0.57, s1 4.23 -> 1.56) but its lowering inside the
-    fused block kernel crashes the XLA:TPU compiler at every stage
-    geometry ("Check failed: limits[i] <= dim(i)"), so until the in-situ
-    form compiles and is re-measured the shift formulations stay the
-    default everywhere."""
+    """Measured routing for the matmul-LePE FORWARD (post-dot-weight
+    small-dots form — the round-3 pre-weighted big-dot form crashed the
+    XLA:TPU compiler in-situ; bisected in scripts/exp_mm_bisect{,2}.py).
+
+    In-situ whole-block chains (scripts/exp_lepe_mm2.py fwd, bs128, real
+    chip): stage 2 (2x28, c=64) 2.296 -> 1.780 ms WIN; stage 4 full
+    window (7x7, c=512) 0.657 -> 0.645 marginal win; stage 3 (7x14,
+    c=128) 1.000 -> 1.317 LOSS (L=98 batched tap-dots under-fill the
+    MXU); stage 1 row conv (1x56, c=32) 4.527 -> 5.002 LOSS (c=32 wastes
+    3/4 of the lane width). Isolated-kernel numbers (exp_lepe_mm.py) said
+    mm wins everywhere — they do not transfer in-situ; route on the
+    in-situ chains only: sp_h >= 2 and L <= 56."""
     if _LEPE_MM_MODE != "auto":
         return _LEPE_MM_MODE == "mm"
+    return sp_h >= 2 and sp_h * sp_w <= 56
+
+
+def _lepe_mm_route_bwd(sp_h: int, sp_w: int, c: int) -> bool:
+    """Routing for the matmul-LePE BACKWARD. OFF until an in-situ bwd
+    chain measurement exists (scripts/exp_lepe_mm2.py bwd — the fused-bwd
+    compiles through the remote helper exceeded this round's time budget):
+    the roll-form bwd is the known-good production route; the mm bwd is
+    f32-exact vs the composed vjp (tests/test_fused_block.py interpret
+    oracles) and waits on a measured win to flip."""
+    if _LEPE_MM_BWD_MODE != "auto":
+        return _LEPE_MM_BWD_MODE == "mm"
     return False
 
 
@@ -340,87 +359,94 @@ def _lepe_mm_taps(sp_h: int, sp_w: int):
             for dj in (-1, 0, 1) if abs(dj) < sp_w]
 
 
-def _lepe_mm_A(sp_h: int, sp_w: int, nt_L: int, dt):
-    """Constant 0/1 shift+boundary matrix for the MXU LePE: A (L, nt*L)
-    with A[r, t*L + r - o_t] = 1 iff tap t's source pixel for row r lies
-    inside the window (o_t = di*sp_w + dj). Built from iota so Mosaic sees
-    no materialized array constant; the whole build constant-folds outside
-    the kernel when called at trace level."""
+def _lepe_mm_At(sp_h: int, sp_w: int, di: int, dj: int, dt):
+    """Constant 0/1 shift+boundary matrix for ONE LePE tap: At (L, L) with
+    At[r, r - o] = 1 iff the tap's source pixel for row r lies inside the
+    window (o = di*sp_w + dj). Built from iota so Mosaic sees no
+    materialized array constant; each ROW has at most one nonzero, so
+    At @ v is an exact per-row gather regardless of matmul precision."""
     L = sp_h * sp_w
-    taps = _lepe_mm_taps(sp_h, sp_w)
-    rr = jax.lax.broadcasted_iota(jnp.int32, (L, nt_L), 0)
-    mm = jax.lax.broadcasted_iota(jnp.int32, (L, nt_L), 1)
-    tt = mm // L
-    lp = mm % L
+    rr = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+    pp = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
     ii = rr // sp_w
     jj = rr % sp_w
-    A = None
-    for ti, (di, dj) in enumerate(taps):
-        ok = ((tt == ti) & (lp == rr - (di * sp_w + dj))
-              & (ii - di >= 0) & (ii - di < sp_h)
-              & (jj - dj >= 0) & (jj - dj < sp_w))
-        A = ok if A is None else (A | ok)
-    return A.astype(dt)
+    ok = ((pp == rr - (di * sp_w + dj))
+          & (ii - di >= 0) & (ii - di < sp_h)
+          & (jj - dj >= 0) & (jj - dj < sp_w))
+    return ok.astype(dt)
 
 
 def _lepe_windows_mm(vw, lk, lb, swap=False):
-    """Depthwise 3x3 LePE as ONE batched MXU dot — zero shifts.
+    """Depthwise 3x3 LePE as nt small batched MXU dots — zero shifts.
 
     The shift formulations (flat/2-D above) pay 9 non-8-aligned sublane
     concat shifts on the VPU: 0.746 ms at the stage-3 branch geometry
     where the whole attention core is 0.153 ms (scripts/exp_attn3.py).
-    Here every tap's shift AND boundary mask live in a constant 0/1
-    matrix: out = A @ Vw, with Vw the nt channel-weighted copies of v
-    stacked on sublanes (pure FMAs, no shifts) and A (L, nt*L) selecting
-    tap t's source row r - o_t. The ~nt*L dense contraction inflates
-    FLOPs ~100x over the stencil, but they ride the MXU at >100x the
-    shift path's effective rate. Same math as ``_lepe_windows``
-    (f32 accumulation via the dot instead of sequential bf16 adds)."""
+    Here each tap's shift AND boundary mask live in a constant 0/1 matrix
+    At (L, L): out = sum_t (At @ v2) * w_t + b. The channel weight
+    multiplies AFTER the dot — the round-3 single-big-dot form
+    (A (L, nt*L) @ concat of nt pre-weighted copies) fed a ref-derived
+    elementwise product into a batched dot_general, which aborts the
+    XLA:TPU compiler inside the fused kernel at every geometry
+    ("Check failed: limits[i] <= dim(i)"; bisected in
+    scripts/exp_mm_bisect.py / exp_mm_bisect2.py — a const-lk dot
+    compiles, a single ref-weighted tap does not, and the post-dot
+    multiply form compiles clean). FLOPs are identical
+    (nt·L²·c == L·(nt·L)·c), the dense contraction still inflates FLOPs
+    ~L/9x over the stencil, but rides the MXU instead of the VPU. The
+    center tap is the identity gather, so it skips the dot. f32
+    accumulation: taps and bias are applied in f32, and the one-hot dot
+    rows make each gather exact in any precision."""
     n, sp_h, sp_w, c = vw.shape
     dt = vw.dtype
     L = sp_h * sp_w
-    taps = _lepe_mm_taps(sp_h, sp_w)
     v2 = vw.reshape(n, L, c)
-    ws = [(lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]).astype(dt)
-          for di, dj in taps]
-    Vw = jnp.concatenate([v2 * w for w in ws], axis=1)
-    A = _lepe_mm_A(sp_h, sp_w, len(taps) * L, dt)
-    Ab = jnp.broadcast_to(A[None], (n,) + A.shape)
-    # HIGHEST precision for f32 activations: the default reduced matmul
-    # precision computes the dot at ~2e-2 vs the exact stencil on the
-    # accelerator, which would break the f32 parity oracles; bf16
-    # production inputs take the fast path regardless.
-    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
-    out = jax.lax.dot_general(Ab, Vw, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
+    out = None
+    for di, dj in _lepe_mm_taps(sp_h, sp_w):
+        w = (lk[1 - dj, 1 - di] if swap else lk[1 - di, 1 - dj]
+             ).astype(jnp.float32)
+        if di == 0 and dj == 0:
+            term = v2.astype(jnp.float32) * w
+        else:
+            At = jnp.broadcast_to(
+                _lepe_mm_At(sp_h, sp_w, di, dj, dt)[None], (n, L, L))
+            term = jax.lax.dot_general(
+                At, v2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * w
+        out = term if out is None else out + term
     return (out + lb.astype(jnp.float32)).astype(dt).reshape(vw.shape)
 
 
 def _lepe_windows_dual_mm(vw, lk0, lb0, lk1, lb1, n):
     """Branch-stacked MXU LePE (see ``_lepe_windows_mm``): the per-tap
     channel weight is where-selected per row group (rows [0, n) vertical
-    branch — transposed lk0 taps; [n, 2n) horizontal — lk1), the constant
-    A matrix is branch-independent. Same math as ``_lepe_windows_dual``."""
+    branch — transposed lk0 taps; [n, 2n) horizontal — lk1) and applied
+    AFTER the tap gather-dot; the constant At matrices are
+    branch-independent. Same math as ``_lepe_windows_dual``."""
     n2, sp_h, sp_w, c = vw.shape
     dt = vw.dtype
     L = sp_h * sp_w
-    taps = _lepe_mm_taps(sp_h, sp_w)
     gsel = jax.lax.broadcasted_iota(jnp.int32, (n2, 1, 1), 0) < n
     v2 = vw.reshape(n2, L, c)
 
     def tap(di, dj):
-        tv = jnp.broadcast_to(lk0[1 - dj, 1 - di].astype(dt), (n2, 1, c))
-        th = jnp.broadcast_to(lk1[1 - di, 1 - dj].astype(dt), (n2, 1, c))
+        tv = jnp.broadcast_to(lk0[1 - dj, 1 - di].astype(jnp.float32),
+                              (n2, 1, c))
+        th = jnp.broadcast_to(lk1[1 - di, 1 - dj].astype(jnp.float32),
+                              (n2, 1, c))
         return jnp.where(gsel, tv, th)
 
-    Vw = jnp.concatenate([v2 * tap(di, dj) for di, dj in taps], axis=1)
-    A = _lepe_mm_A(sp_h, sp_w, len(taps) * L, dt)
-    Ab = jnp.broadcast_to(A[None], (n2,) + A.shape)
-    prec = jax.lax.Precision.HIGHEST if dt == jnp.float32 else None
-    out = jax.lax.dot_general(Ab, Vw, (((2,), (1,)), ((0,), (0,))),
-                              preferred_element_type=jnp.float32,
-                              precision=prec)
+    out = None
+    for di, dj in _lepe_mm_taps(sp_h, sp_w):
+        if di == 0 and dj == 0:
+            term = v2.astype(jnp.float32) * tap(0, 0)
+        else:
+            At = jnp.broadcast_to(
+                _lepe_mm_At(sp_h, sp_w, di, dj, dt)[None], (n2, L, L))
+            term = jax.lax.dot_general(
+                At, v2, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * tap(di, dj)
+        out = term if out is None else out + term
     bias = jnp.where(
         gsel, jnp.broadcast_to(lb0.astype(jnp.float32), (n2, 1, c)),
         jnp.broadcast_to(lb1.astype(jnp.float32), (n2, 1, c)))
@@ -558,6 +584,90 @@ def _attn_windows_bwd(q, k, v, da, heads, scale, merge=None):
             cat(dvs).reshape(n, L, C))
 
 
+def _lepe_windows_bwd_mm(vw, da, lk, swap=False):
+    """MXU-dot backward of the LePE (see ``_lepe_windows_mm``): per tap t,
+    dv += (Atᵀ @ da) · w_t (channel scaling commutes with the row gather,
+    so the weight multiplies AFTER the dot — the pre-multiplied form
+    aborts the XLA:TPU compiler, scripts/exp_mm_bisect2.py) and
+    dlk[t] = Σ (At @ v) ⊙ da. Center tap is the identity gather (no dot).
+    Same returns as ``_lepe_windows_bwd``."""
+    n, sp_h, sp_w, c = vw.shape
+    L = sp_h * sp_w
+    dlb = jnp.sum(da, axis=(0, 1, 2))
+    v2 = vw.reshape(n, L, c)
+    da2 = da.reshape(n, L, c)
+    row = jax.lax.broadcasted_iota(jnp.int32, (9, c), 0)
+    dlk = jnp.zeros((9, c), jnp.float32)
+    dv = None
+    for di, dj in _lepe_mm_taps(sp_h, sp_w):
+        idx = (1 - dj, 1 - di) if swap else (1 - di, 1 - dj)
+        w = lk[idx[0], idx[1]].astype(jnp.float32)
+        if di == 0 and dj == 0:
+            gat = v2.astype(jnp.float32)
+            dvt = da2 * w
+        else:
+            At = _lepe_mm_At(sp_h, sp_w, di, dj, vw.dtype)
+            gat = jax.lax.dot_general(
+                jnp.broadcast_to(At[None], (n, L, L)), v2,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            # Atᵀ @ da: contract At's ROW dim with da's row dim.
+            dvt = jax.lax.dot_general(
+                jnp.broadcast_to(At.astype(jnp.float32)[None], (n, L, L)),
+                da2, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * w
+        g = jnp.sum(gat * da2, axis=(0, 1))
+        dlk = dlk + jnp.where(row == idx[0] * 3 + idx[1], 1.0, 0.0) * g[None, :]
+        dv = dvt if dv is None else dv + dvt
+    return dv.reshape(vw.shape), dlk, dlb
+
+
+def _lepe_windows_bwd_dual_mm(vw, da, lk0, lk1, n):
+    """MXU-dot backward of the branch-stacked LePE (see
+    ``_lepe_windows_bwd_dual`` / ``_lepe_windows_dual_mm``). Same returns
+    as ``_lepe_windows_bwd_dual``."""
+    n2, sp_h, sp_w, c = vw.shape
+    L = sp_h * sp_w
+    dlb0 = jnp.sum(da[:n], axis=(0, 1, 2))
+    dlb1 = jnp.sum(da[n:], axis=(0, 1, 2))
+    v2 = vw.reshape(n2, L, c)
+    da2 = da.reshape(n2, L, c)
+    gsel = jax.lax.broadcasted_iota(jnp.int32, (n2, 1, 1), 0) < n
+    row = jax.lax.broadcasted_iota(jnp.int32, (9, c), 0)
+    dlk0 = jnp.zeros((9, c), jnp.float32)
+    dlk1 = jnp.zeros((9, c), jnp.float32)
+    dv = None
+    for di, dj in _lepe_mm_taps(sp_h, sp_w):
+        i0 = (1 - dj, 1 - di)  # vertical: transposed-coordinate taps
+        i1 = (1 - di, 1 - dj)
+        tap = jnp.where(
+            gsel,
+            jnp.broadcast_to(lk0[i0[0], i0[1]].astype(jnp.float32),
+                             (n2, 1, c)),
+            jnp.broadcast_to(lk1[i1[0], i1[1]].astype(jnp.float32),
+                             (n2, 1, c)))
+        if di == 0 and dj == 0:
+            gat = v2.astype(jnp.float32)
+            dvt = da2 * tap
+        else:
+            At = _lepe_mm_At(sp_h, sp_w, di, dj, vw.dtype)
+            gat = jax.lax.dot_general(
+                jnp.broadcast_to(At[None], (n2, L, L)), v2,
+                (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            dvt = jax.lax.dot_general(
+                jnp.broadcast_to(At.astype(jnp.float32)[None], (n2, L, L)),
+                da2, (((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * tap
+        prod = gat * da2
+        g0 = jnp.sum(prod[:n], axis=(0, 1))
+        g1 = jnp.sum(prod[n:], axis=(0, 1))
+        dlk0 = dlk0 + jnp.where(row == i0[0] * 3 + i0[1], 1.0, 0.0) * g0[None, :]
+        dlk1 = dlk1 + jnp.where(row == i1[0] * 3 + i1[1], 1.0, 0.0) * g1[None, :]
+        dv = dvt if dv is None else dv + dvt
+    return dv.reshape(vw.shape), dlk0, dlb0, dlk1, dlb1
+
+
 def _lepe_windows_bwd(vw, da, lk, swap=False):
     """Backward of ``_lepe_windows``. vw activation dtype (n, sp_h, sp_w, C);
     da f32 same shape. Returns (dvw f32, dlk (9, C) f32 in row-major
@@ -567,6 +677,8 @@ def _lepe_windows_bwd(vw, da, lk, swap=False):
     formulation) — Mosaic's concat lowering is unreliable for the
     dot-derived f32 cotangents, rolls always lower."""
     n, sp_h, sp_w, c = vw.shape
+    if _lepe_mm_route_bwd(sp_h, sp_w, c):
+        return _lepe_windows_bwd_mm(vw, da, lk, swap=swap)
     dlb = jnp.sum(da, axis=(0, 1, 2))
     dtaps = {}
     vf = vw.astype(jnp.float32)
@@ -611,6 +723,8 @@ def _lepe_windows_bwd_dual(vw, da, lk0, lk1, n):
     tap grads reduce per row group. Returns (dvw f32, dlk0 (9, C), dlb0,
     dlk1 (9, C), dlb1) — (9, C) in row-major (a, b) tap order."""
     n2, sp_h, sp_w, c = vw.shape
+    if _lepe_mm_route_bwd(sp_h, sp_w, c):
+        return _lepe_windows_bwd_dual_mm(vw, da, lk0, lk1, n)
     dlb0 = jnp.sum(da[:n], axis=(0, 1, 2))
     dlb1 = jnp.sum(da[n:], axis=(0, 1, 2))
     vf = vw.astype(jnp.float32)

@@ -59,8 +59,8 @@ def parity(st, mode):
     params = mk_params(g, rng)
     x = jnp.asarray(rng.standard_normal((4, H, W, C)).astype(np.float32)
                     ).astype(jnp.bfloat16)
-    saved = cb._LEPE_MM_MODE
-    cb._LEPE_MM_MODE = mode
+    saved = (cb._LEPE_MM_MODE, cb._LEPE_MM_BWD_MODE)
+    cb._LEPE_MM_MODE = cb._LEPE_MM_BWD_MODE = mode
     try:
         got = fresh_fwd(H, W, C, heads, split, last, scale)(x, params, None)
         ref = jax.jit(lambda a, p: cb.composed_block(
@@ -76,7 +76,7 @@ def parity(st, mode):
               flush=True)
         return False
     finally:
-        cb._LEPE_MM_MODE = saved
+        cb._LEPE_MM_MODE, cb._LEPE_MM_BWD_MODE = saved
 
 
 def time_stage(st, mode, what):
@@ -88,8 +88,8 @@ def time_stage(st, mode, what):
     params = mk_params(g, rng)
     x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32)
                     ).astype(jnp.bfloat16)
-    saved = cb._LEPE_MM_MODE
-    cb._LEPE_MM_MODE = mode
+    saved = (cb._LEPE_MM_MODE, cb._LEPE_MM_BWD_MODE)
+    cb._LEPE_MM_MODE = cb._LEPE_MM_BWD_MODE = mode
     try:
         if what in ("fwd", "both"):
             f = fresh_fwd(H, W, C, heads, split, last, scale)
@@ -114,7 +114,7 @@ def time_stage(st, mode, what):
         print(f"stage {st} B={B} lepe_mm={mode}: FAIL {str(e)[:200]}",
               flush=True)
     finally:
-        cb._LEPE_MM_MODE = saved
+        cb._LEPE_MM_MODE, cb._LEPE_MM_BWD_MODE = saved
 
 
 def main():

@@ -305,3 +305,77 @@ def test_fused_bwd_kernel_no_droppath():
     for a, b in zip(gp_f, gp_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["mm", "shift"])
+@pytest.mark.parametrize("H,W,C,heads,split,last,g", GEOMETRIES)
+def test_lepe_mm_modes_match_composed(H, W, C, heads, split, last, g, mode):
+    """Both sides of the MXU-LePE routing (_LEPE_MM_MODE): the post-dot-
+    weight small-dots form (mm — the round-3 pre-weighted big-dot form
+    crashed the XLA:TPU compiler, scripts/exp_mm_bisect{,2}.py) and the
+    shift form must both match the composition at every geometry —
+    'auto' picks per geometry on in-situ measurements."""
+    import cswin_unet_tpu.ops.pallas.cswin_block as cbm
+
+    rng = np.random.default_rng(7)
+    cb = C if last else C // 2
+    params = _params(rng, C, cb)
+    x = jnp.asarray(rng.standard_normal((2 * g, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    old = cbm._LEPE_MM_MODE
+    cbm._LEPE_MM_MODE = mode
+    try:
+        fused = _fused_block_fwd.__wrapped__(
+            x, params, None, H=H, W=W, C=C, heads=heads, split=split,
+            last_stage=last, scale=scale, qkv_bias=True, g_images=g)
+    finally:
+        cbm._LEPE_MM_MODE = old
+    ref = composed_block(x, params, H, W, C, heads, split, last, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("n,sph,spw,c", [
+    (6, 1, 56, 32), (6, 2, 28, 64), (4, 7, 14, 128), (2, 7, 7, 64)])
+def test_lepe_mm_bwd_matches_vjp_oracle(n, sph, spw, c):
+    """The mm-form LePE backwards (_lepe_windows_bwd_mm / _dual_mm) are
+    f32-exact against jax.vjp of the shift-form forward — the analytic
+    post-dot-weight trick (Atᵀ @ (da·w) == (Atᵀ @ da)·w) must hold at
+    every window geometry, both branches, both swap orders."""
+    import cswin_unet_tpu.ops.pallas.cswin_block as cbm
+
+    rng = np.random.default_rng(5)
+    vw = jnp.asarray(rng.standard_normal((n, sph, spw, c)), jnp.float32)
+    da = jnp.asarray(rng.standard_normal((n, sph, spw, c)), jnp.float32)
+    lk = jnp.asarray(rng.standard_normal((3, 3, c)), jnp.float32)
+    lb = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    lk1 = jnp.asarray(rng.standard_normal((3, 3, c)), jnp.float32)
+    lb1 = jnp.asarray(rng.standard_normal((c,)), jnp.float32)
+    for swap in (False, True):
+        _, vjp = jax.vjp(
+            lambda v, k, b: cbm._lepe_windows_2d(v, k, b, swap=swap),
+            vw, lk, lb)
+        odv, odk, odb = vjp(da)
+        mdv, mdk, mdb = cbm._lepe_windows_bwd_mm(vw, da, lk, swap=swap)
+        np.testing.assert_allclose(np.asarray(mdv), np.asarray(odv),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mdk),
+                                   np.asarray(odk).reshape(9, c),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mdb), np.asarray(odb),
+                                   rtol=2e-5, atol=2e-5)
+    half = n // 2
+    _, vjp = jax.vjp(
+        lambda v, k0, b0, k1, b1: cbm._lepe_windows_dual(
+            v, k0, b0, k1, b1, half), vw, lk, lb, lk1, lb1)
+    oracle = vjp(da)
+    got = cbm._lepe_windows_bwd_dual_mm(vw, da, lk, lk1, half)
+    want = (oracle[0], oracle[1].reshape(9, c), oracle[2],
+            oracle[3].reshape(9, c), oracle[4])
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    fm = cbm._lepe_windows_mm(vw, lk, lb)
+    fs = cbm._lepe_windows_2d(vw, lk, lb)
+    np.testing.assert_allclose(np.asarray(fm), np.asarray(fs),
+                               rtol=2e-5, atol=2e-5)
