@@ -22,15 +22,18 @@ not a measurement — vs_baseline is quoted against it). The train baseline is
 the reference recipe's measured-class A100 bs-24 step (~1.4 it/s => ~34
 samples/s, same-class estimate).
 
-Modes: `python bench.py` runs all three plus the on-TPU kernel-parity check
-(`{"metric": "kernel_parity", "ok": ...}` — every fused kernel compiled on
-the real backend and diffed against its XLA composition);
-`python bench.py infer|train|infer384|check` runs one. Legacy positional
-form `bench.py <batch> <ka> <kb> [impl]` still works for kernel A/B.
+Modes: `python bench.py` runs all three metrics FIRST, then the QUICK tier
+of the on-TPU kernel-parity check (`{"metric": "kernel_parity", ...}`),
+every phase wall-clock-capped, and re-emits all metric lines as the final
+stdout block (also from a SIGTERM handler — the driver's tail-parse always
+finds the metrics). `python bench.py infer|train|infer384|check|check-quick`
+runs one phase; `check` is the FULL Mosaic-lowering matrix (pre_land.sh).
+Legacy positional form `bench.py <batch> <ka> <kb> [impl]` still works.
 """
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -38,6 +41,20 @@ import numpy as np
 
 A100_BS1_BASELINE = 60.0  # slices/s, estimated reference pipeline (see above)
 A100_TRAIN_BASELINE = 34.0  # samples/s, estimated reference bs-24 train step
+
+# Every metric line printed this run, in order. `bench.py all` re-emits the
+# whole list as the FINAL stdout lines (and from the SIGTERM handler) so the
+# driver's tail-parse always finds the metrics no matter what a later phase
+# prints, raises, or times out on — BENCH_r02..r04 all lost real numbers to
+# noise/timeouts after the metrics had already printed.
+_SUMMARY = []
+
+
+def _emit(obj):
+    line = json.dumps(obj)
+    print(line, flush=True)
+    _SUMMARY.append(line)
+    return obj
 
 # Every emitted vs_baseline is quoted against the ESTIMATES above — the
 # reference records no throughput anywhere (SURVEY.md §6). The label rides
@@ -127,17 +144,14 @@ def bench_infer(batch=128, chain_a=21, chain_b=41, attn_impl="fused",
     per_fwd = (tb - ta) / (chain_b - chain_a)
     slices_per_sec = batch / per_fwd
 
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(slices_per_sec, 2),
-                "unit": "slices/s",
-                "vs_baseline": round(slices_per_sec / baseline, 3),
-                "baseline": BASELINE_LABEL,
-            }
-        ),
-        flush=True,
+    _emit(
+        {
+            "metric": metric,
+            "value": round(slices_per_sec, 2),
+            "unit": "slices/s",
+            "vs_baseline": round(slices_per_sec / baseline, 3),
+            "baseline": BASELINE_LABEL,
+        }
     )
     return slices_per_sec
 
@@ -195,17 +209,14 @@ def bench_train(batch=24, chain_a=6, chain_b=16, attn_impl="fused"):
     per_step = (tb - ta) / (chain_b - chain_a)
     samples_per_sec = batch / per_step
 
-    print(
-        json.dumps(
-            {
-                "metric": "train_samples_per_sec_per_chip",
-                "value": round(samples_per_sec, 2),
-                "unit": "samples/s",
-                "vs_baseline": round(samples_per_sec / A100_TRAIN_BASELINE, 3),
-                "baseline": BASELINE_LABEL,
-            }
-        ),
-        flush=True,
+    _emit(
+        {
+            "metric": "train_samples_per_sec_per_chip",
+            "value": round(samples_per_sec, 2),
+            "unit": "samples/s",
+            "vs_baseline": round(samples_per_sec / A100_TRAIN_BASELINE, 3),
+            "baseline": BASELINE_LABEL,
+        }
     )
     return samples_per_sec
 
@@ -224,19 +235,27 @@ BLOCK_GEOMETRIES = {
 }
 
 
-def bench_check(batch=8, geometries=None, include_broken=False):
+def bench_check(batch=8, geometries=None, include_broken=False, quick=False):
     """On-TPU kernel regression check: compile EVERY Pallas entry point on
     the real backend (Mosaic, NOT interpret mode) — production routes AND
     the alternate modes a route flip could select — and compare each
     against its XLA composition at bf16 tolerance. The interpret-mode unit
     tests validate the math; this validates the Mosaic LOWERING — the
     class of silent breakage that shipped a TPU-crashing HEAD in round 3.
-    Coverage: fused block fwd+bwd at all 8 production geometries, the
-    fold/pair/branch-batched block modes, both shift-LePE formulations,
+    Full-tier coverage: fused block fwd+bwd at all 8 production geometries,
+    the fold/pair/branch-batched block modes, both shift-LePE formulations,
     the CARAFE tail/up kernels, the fused-argmax tail, the standalone
-    stripe-attention kernel (all 3 orientations), and the Pallas EDT
-    volume metrics. ``include_broken`` additionally compiles modes that
-    are documented non-compiling (currently the MXU-LePE mm form).
+    stripe-attention kernel (all 3 orientations), the Pallas EDT volume
+    metrics, and VMEM-headroom compiles of the fused block at the
+    PRODUCTION bench batch sizes (bs128 tiny-s1, bs32 base-s1 — the axis
+    the bs8 parity units cannot see: the 384/bs32 scoped-VMEM OOM of
+    round 4 passed the bs8 gate). ``include_broken`` additionally compiles
+    exhaustive non-default mode×geometry combinations (e.g. the MXU-LePE
+    mm form at a geometry where the measured route picks shift).
+    ``quick=True`` is the budget tier (`bench.py all` / `pre_land.sh
+    quick`): 3 representative geometries (224-s1, 224-s2, 384-s1)
+    fwd+bwd, the production tail kernels, and the prod-batch-size VMEM
+    units — minutes warm, not hours cold.
     Prints one {"metric": "kernel_parity", "ok": ...} line."""
     import functools
 
@@ -316,8 +335,13 @@ def bench_check(batch=8, geometries=None, include_broken=False):
                 mk(C, C), mk(C), mk(C, sc=0.3) + 1.0, mk(C),
                 mk(C, 4 * C), mk(4 * C), mk(4 * C, C), mk(C))
 
-    for name, (H, W, C, heads, split, last) in (geometries
-                                                or BLOCK_GEOMETRIES).items():
+    if geometries is None:
+        geometries = BLOCK_GEOMETRIES
+        if quick:
+            geometries = {k: BLOCK_GEOMETRIES[k]
+                          for k in ("224-s1", "224-s2", "384-s1")}
+
+    for name, (H, W, C, heads, split, last) in geometries.items():
         params = block_params(C, last)
         scale = (C // heads) ** -0.5
         x = mk(batch, H, W, C, sc=1.0).astype(jnp.bfloat16)
@@ -368,6 +392,33 @@ def bench_check(batch=8, geometries=None, include_broken=False):
         unit(f"block_fwd:{name}", fwd_unit)
         if not last:
             unit(f"block_bwd:{name}", bwd_unit)
+
+    # VMEM-headroom compiles at the PRODUCTION bench batch sizes. No oracle
+    # (the bs8 units above own parity); these exist because per-program VMEM
+    # is batch-independent but XLA's scoped-vmem accounting around the custom
+    # call is NOT — the round-4 384/bs32 OOM ("Scoped allocation with size
+    # 68.04M ... exceeded scoped vmem limit") compiled fine at bs8.
+    for vname, geo, vbs in (("block_fwd_bs128:224-s1", "224-s1", 128),
+                            ("block_fwd_bs32:384-s1", "384-s1", 32)):
+        Hv, Wv, Cv, hv, sv, lv = BLOCK_GEOMETRIES[geo]
+        pv = block_params(Cv, lv)
+        scv = (Cv // hv) ** -0.5
+
+        def vmem_unit(Hv=Hv, Wv=Wv, Cv=Cv, hv=hv, sv=sv, lv=lv, pv=pv,
+                      scv=scv, vbs=vbs, vname=vname):
+            nonlocal checks
+            xv = mk(vbs, Hv, Wv, Cv, sc=1.0).astype(jnp.bfloat16)
+            out = jax.jit(lambda xx, pp: _fused_block_fwd(
+                xx, pp, H=Hv, W=Wv, C=Cv, heads=hv, split=sv,
+                last_stage=lv, scale=scv, qkv_bias=True))(xv, pv)
+            ok_v = bool(np.isfinite(np.asarray(out, np.float32)).all())
+            checks += 1
+            print(f"[check] {vname}: compiled finite={ok_v} "
+                  f"{'ok' if ok_v else 'FAIL'}", file=sys.stderr, flush=True)
+            if not ok_v:
+                failures.append({"check": vname, "error": "non-finite output"})
+
+        unit(vname, vmem_unit)
 
     # CARAFE4 + classifier tail at the tiny/224 shape (reso 56 -> 224, NC 9)
     C, NC = 64, 9
@@ -438,6 +489,17 @@ def bench_check(batch=8, geometries=None, include_broken=False):
                 {"check": "carafe_tail_argmax@56", "above_margin": real})
 
     unit("carafe_tail_argmax@56", argmax_unit)
+
+    if quick:
+        ok = not failures
+        line = {"metric": "kernel_parity", "ok": ok, "checks": checks,
+                "tier": "quick", "backend": jax.default_backend()}
+        if failures:
+            line["failures"] = failures
+        if env_limits:
+            line["env_limits"] = env_limits
+        _emit(line)
+        return ok
 
     # Standalone stripe-attention kernel, all 3 orientations (the
     # attn_impl='pallas' route + the composed-model building block).
@@ -537,14 +599,44 @@ def bench_check(batch=8, geometries=None, include_broken=False):
         "block_bb_on:224-s2", fwd_fresh(x2, params2, **kw2), ref2, 0.02))
     with_mode("block_lepe3d:224-s2", "_LEPE_MODE", "3d", lambda: close(
         "block_lepe3d:224-s2", fwd_fresh(x2, params2, **kw2), ref2, 0.02))
-    # The mm LePE is the PRODUCTION route at s2/s4 geometries (fwd + bwd),
-    # so the default block_fwd/block_bwd units above already compile it;
-    # these pin the NON-default formulation at s2 (shift) so a route flip
-    # back can never ship uncompiled, and the mm route at a geometry where
-    # shift is default (s3) when include_broken asks for exhaustive modes.
+    # The mm LePE is the PRODUCTION route at the s2/s4 forwards (the default
+    # block_fwd units above compile it there) and inside the s2 backward's
+    # fwd recompute (covered by block_bwd:224-s2; the s4 bwd is never fused
+    # in training — last-stage blocks train composed). These pin the
+    # NON-default formulation at s2 (shift) so a route flip back can never
+    # ship uncompiled, and — under include_broken's exhaustive
+    # mode×geometry sweep — the mm route at a geometry where the measured
+    # route picks shift (s3).
     with_mode("block_lepe_shift:224-s2", "_LEPE_MM_MODE", "shift",
               lambda: close("block_lepe_shift:224-s2",
                             fwd_fresh(x2, params2, **kw2), ref2, 0.02))
+
+    # Both LePE formulations the BWD route constant can select, compiled via
+    # the fused backward at an s2-like geometry: every value a route flip
+    # could ship must have a green Mosaic lowering at HEAD (the class of
+    # breakage this gate exists for).
+    def bwd_mode_unit(mode):
+        def run():
+            dout2 = mk(batch, Hs, Ws, Cs, sc=1.0)
+            dxf, _, _ = jax.jit(functools.partial(
+                cb._fused_block_bwd_xt.__wrapped__, H=Hs, W=Ws, C=Cs,
+                heads=hs, split=ss, scale=scale2, qkv_bias=True))(
+                    x2, params2, None, dout2)
+
+            def oracle(xx, pp, dd):
+                _, vjp = jax.vjp(lambda a, b: composed_block(
+                    a, b, Hs, Ws, Cs, hs, ss, ls, scale2, True).astype(
+                        jnp.float32), xx, pp)
+                return vjp(dd)[0]
+
+            dxr = jax.jit(oracle)(x2, params2, dout2)
+            close(f"block_lepe_{mode}_bwd:224-s2", dxf, dxr, 0.02)
+        return run
+
+    for mode in ("mm", "shift"):
+        with_mode(f"block_lepe_{mode}_bwd:224-s2", "_LEPE_MM_BWD_MODE", mode,
+                  bwd_mode_unit(mode))
+
     if include_broken:
         with_mode("block_lepe_mm:224-s3", "_LEPE_MM_MODE", "mm",
                   lambda: close("block_lepe_mm:224-s3",
@@ -552,12 +644,12 @@ def bench_check(batch=8, geometries=None, include_broken=False):
 
     ok = not failures
     line = {"metric": "kernel_parity", "ok": ok, "checks": checks,
-            "backend": jax.default_backend()}
+            "tier": "full", "backend": jax.default_backend()}
     if failures:
         line["failures"] = failures
     if env_limits:
         line["env_limits"] = env_limits
-    print(json.dumps(line), flush=True)
+    _emit(line)
     return ok
 
 
@@ -574,6 +666,84 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 
 
+def _bench_infer384():
+    # bs 32 keeps the 4.7x-larger activations in comfortable HBM; the
+    # 384 geometry has 9.4x the FLOPs of tiny/224.
+    return bench_infer(
+        batch=32, chain_a=11, chain_b=21,
+        metric="slices384_per_sec_per_chip",
+        baseline=A100_BS1_BASELINE / 4.0,  # ~9.4x FLOPs, bs1 A100 est.
+        model_fn=_base384, img=384)
+
+
+class _PhaseTimeout(Exception):
+    pass
+
+
+def _run_all():
+    """`bench.py all` — the driver's artifact run. Designed so that an
+    empty/unparsed BENCH_r{N}.json is impossible by construction
+    (BENCH_r02..r04 were all lost to post-metric noise or timeouts):
+
+    - metrics run FIRST, the kernel-parity gate runs LAST in its quick tier;
+    - every phase is individually exception-guarded AND wall-clock-capped
+      (SIGALRM; a phase that blows its cap records an error line and the
+      run moves on);
+    - a global soft deadline (BENCH_BUDGET_S, default 35 min) shrinks or
+      skips later phases rather than overrun the driver's budget;
+    - every metric line collected is RE-EMITTED as the final stdout lines,
+      and a SIGTERM/SIGINT handler re-emits them too — even if the driver's
+      timeout fires mid-phase, the tail of stdout is the metrics."""
+    t0 = time.time()
+    total = float(os.environ.get("BENCH_BUDGET_S", 2100.0))
+
+    def remaining():
+        return total - (time.time() - t0)
+
+    def flush_summary():
+        # Blank separator line, then the collected metric lines verbatim:
+        # the LAST stdout lines are always the metrics.
+        print("", flush=True)
+        for line in _SUMMARY:
+            print(line, flush=True)
+
+    def on_term(signum, frame):  # noqa: ARG001
+        flush_summary()
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, on_term)
+    signal.signal(signal.SIGINT, on_term)
+
+    def phase(name, cap, fn):
+        budget = int(min(cap, remaining() - 60))
+        if budget <= 30:
+            _emit({"metric": name, "error": "skipped: global budget spent"})
+            return
+
+        def on_alarm(signum, frame):  # noqa: ARG001
+            raise _PhaseTimeout(f"phase wall-clock cap {budget}s")
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(budget)
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — record, continue
+            _emit({"metric": name, "error": str(e).replace("\n", " | ")[:200]})
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
+    try:
+        phase("slices_per_sec_per_chip", 600, bench_infer)
+        phase("train_samples_per_sec_per_chip", 600, bench_train)
+        phase("slices384_per_sec_per_chip", 600, _bench_infer384)
+        # Mosaic-lowering regression gate, quick tier (the full matrix is
+        # `bench.py check` / pre_land.sh — not budget-feasible here).
+        phase("kernel_parity", 900, lambda: bench_check(quick=True))
+    finally:
+        flush_summary()
+
+
 def main():
     _enable_compile_cache()
     args = sys.argv[1:]
@@ -587,37 +757,31 @@ def main():
 
     mode = args[0] if args else "all"
 
+    if mode == "all":
+        _run_all()
+        return
+
     def guarded(name, fn):
-        # The headline metric prints first; a cold-compile timeout or a
-        # flaky remote-compile helper in a later mode must not kill it.
+        # A cold-compile timeout or a flaky remote-compile helper must not
+        # kill the whole invocation without a recorded error line.
         try:
             fn()
         except Exception as e:  # noqa: BLE001
             print(json.dumps({"metric": name, "error": str(e)[:200]}),
                   file=sys.stderr, flush=True)
 
-    if mode in ("all", "infer"):
+    if mode == "infer":
         bench_infer()
-    if mode in ("all", "train"):
+    elif mode == "train":
         guarded("train_samples_per_sec_per_chip", bench_train)
-    if mode in ("all", "infer384"):
-        # bs 32 keeps the 4.7x-larger activations in comfortable HBM; the
-        # 384 geometry has 9.4x the FLOPs of tiny/224.
-        guarded("slices384_per_sec_per_chip", lambda: bench_infer(
-            batch=32, chain_a=11, chain_b=21,
-            metric="slices384_per_sec_per_chip",
-            baseline=A100_BS1_BASELINE / 4.0,  # ~9.4x FLOPs, bs1 A100 est.
-            model_fn=_base384, img=384))
-    if mode == "all":
-        # Mosaic-lowering regression gate: compiles every fused kernel on
-        # the REAL backend and diffs against the XLA composition.
-        guarded("kernel_parity", bench_check)
-    elif mode == "check":
+    elif mode == "infer384":
+        guarded("slices384_per_sec_per_chip", _bench_infer384)
+    elif mode in ("check", "check-quick"):
         # Explicit gate mode (scripts/pre_land.sh): an infrastructure
         # failure (e.g. the flaky remote-compile helper dying mid-run)
         # must FAIL the gate, not be swallowed — an incomplete check is
         # not a passed check. A parity failure also exits nonzero.
-        if not bench_check():
+        if not bench_check(quick=(mode == "check-quick")):
             sys.exit(1)
 
 

@@ -364,7 +364,9 @@ def _lepe_mm_At(sp_h: int, sp_w: int, di: int, dj: int, dt):
     At[r, r - o] = 1 iff the tap's source pixel for row r lies inside the
     window (o = di*sp_w + dj). Built from iota so Mosaic sees no
     materialized array constant; each ROW has at most one nonzero, so
-    At @ v is an exact per-row gather regardless of matmul precision."""
+    At @ v is a per-row gather with no accumulation error — but default
+    TPU matmul precision still rounds the v OPERAND to bf16, so under f32
+    activations the consuming dots take Precision.HIGHEST to stay exact."""
     L = sp_h * sp_w
     rr = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
     pp = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
@@ -395,10 +397,13 @@ def _lepe_windows_mm(vw, lk, lb, swap=False):
     (nt·L²·c == L·(nt·L)·c), the dense contraction still inflates FLOPs
     ~L/9x over the stencil, but rides the MXU instead of the VPU. The
     center tap is the identity gather, so it skips the dot. f32
-    accumulation: taps and bias are applied in f32, and the one-hot dot
-    rows make each gather exact in any precision."""
+    accumulation: taps and bias are applied in f32; the one-hot dot rows
+    add no accumulation error, and under f32 activations (oracle runs)
+    the dots take Precision.HIGHEST so the v operand is not bf16-rounded
+    by the default TPU matmul precision."""
     n, sp_h, sp_w, c = vw.shape
     dt = vw.dtype
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else None)
     L = sp_h * sp_w
     v2 = vw.reshape(n, L, c)
     out = None
@@ -412,7 +417,7 @@ def _lepe_windows_mm(vw, lk, lb, swap=False):
                 _lepe_mm_At(sp_h, sp_w, di, dj, dt)[None], (n, L, L))
             term = jax.lax.dot_general(
                 At, v2, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * w
+                preferred_element_type=jnp.float32, precision=prec) * w
         out = term if out is None else out + term
     return (out + lb.astype(jnp.float32)).astype(dt).reshape(vw.shape)
 
@@ -437,6 +442,7 @@ def _lepe_windows_dual_mm(vw, lk0, lb0, lk1, lb1, n):
         return jnp.where(gsel, tv, th)
 
     out = None
+    prec = (jax.lax.Precision.HIGHEST if dt == jnp.float32 else None)
     for di, dj in _lepe_mm_taps(sp_h, sp_w):
         if di == 0 and dj == 0:
             term = v2.astype(jnp.float32) * tap(0, 0)
@@ -445,7 +451,8 @@ def _lepe_windows_dual_mm(vw, lk0, lb0, lk1, lb1, n):
                 _lepe_mm_At(sp_h, sp_w, di, dj, dt)[None], (n2, L, L))
             term = jax.lax.dot_general(
                 At, v2, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * tap(di, dj)
+                preferred_element_type=jnp.float32,
+                precision=prec) * tap(di, dj)
         out = term if out is None else out + term
     bias = jnp.where(
         gsel, jnp.broadcast_to(lb0.astype(jnp.float32), (n2, 1, c)),
@@ -1847,6 +1854,31 @@ def _default_g(B: int, H: int, W: int, C: int) -> int:
     return g
 
 
+# Scoped-VMEM reservation (MiB) for the fused FORWARD kernels. pallas'
+# vmem_limit_bytes is emitted as a scoped_memory_configs reservation that
+# XLA's scheduler must co-place with its own VMEM-resident buffers around
+# the custom call — an oversized reservation starves the scheduler and
+# fails the MODULE compile ("Scoped allocation ... exceeded scoped vmem
+# limit"), which is how 64 MiB broke base-384 at bs32 in round 4 while bs8
+# passed. Monkeypatched by scripts/exp_vmem384.py to bisect the kernel's
+# true need.
+_FWD_VMEM_LIMIT_MB = 64
+
+# The 96x96 base-384 geometries need a larger scope: at bs32 XLA co-places
+# the bf16[32,96,96,96] kernel output (56.6M) plus ~11M of neighboring
+# buffers in the same scoped window — 64M fails the MODULE compile with
+# "Scoped allocation with size 68.04M ... exceeded", while the kernel's own
+# per-program working set is far smaller (G=1). Measured 2026-08-20
+# (scripts/exp_vmem_probe.py): 48M FAIL, 72M OK, 96M OK. Only resos past
+# 56x56 get the bump — oversized reservations starve the XLA scheduler at
+# geometries that don't need them.
+_FWD_VMEM_LIMIT_LARGE_MB = 96
+
+
+def _fwd_vmem_limit_mb(H: int, W: int) -> int:
+    return _FWD_VMEM_LIMIT_LARGE_MB if H * W > 56 * 56 else _FWD_VMEM_LIMIT_MB
+
+
 def _use_xt_default(H: int, W: int) -> bool | str:
     """Measured per-geometry routing between the two dual-branch block
     formulations (scripts/exp_fold.py, bs128 long chains):
@@ -1901,7 +1933,8 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         # stage-1 f32 working set slightly exceeds the default 16 MB scoped
         # cap; v5e VMEM accommodates this comfortably
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_fwd_vmem_limit_mb(H, W) * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )
 
