@@ -611,6 +611,27 @@ def bench_check(batch=8, geometries=None, include_broken=False, quick=False):
               lambda: close("block_lepe_shift:224-s2",
                             fwd_fresh(x2, params2, **kw2), ref2, 0.02))
 
+    # Round-5 stage-1 formulations: the hoisted-vertical-qkv stream mode
+    # (use_xt="vh") and the channel-stacked dual LePE (_LEPE_DUAL_MODE).
+    # Both sides of each route must hold a green Mosaic lowering at the
+    # geometry the route targets (56x56 stage 1, where bb is on).
+    H1, W1, C1, h1, s1, l1 = BLOCK_GEOMETRIES["224-s1"]
+    params1 = block_params(C1, l1)
+    scale1 = (C1 // h1) ** -0.5
+    x1 = mk(batch, H1, W1, C1, sc=1.0).astype(jnp.bfloat16)
+    ref1 = jax.jit(lambda xx, pp: composed_block(
+        xx, pp, H1, W1, C1, h1, s1, l1, scale1, True))(x1, params1)
+    kw1 = dict(H=H1, W=W1, C=C1, heads=h1, split=s1, last_stage=l1,
+               scale=scale1, qkv_bias=True)
+    unit("block_vh:224-s1", lambda: close(
+        "block_vh:224-s1",
+        fwd_fresh(x1, params1, use_xt="vh", **kw1), ref1, 0.02))
+    for dual in ("bs", "cs"):
+        with_mode(f"block_lepe_dual_{dual}:224-s1", "_LEPE_DUAL_MODE", dual,
+                  lambda dual=dual: close(
+                      f"block_lepe_dual_{dual}:224-s1",
+                      fwd_fresh(x1, params1, **kw1), ref1, 0.02))
+
     # Both LePE formulations the BWD route constant can select, compiled via
     # the fused backward at an s2-like geometry: every value a route flip
     # could ship must have a green Mosaic lowering at HEAD (the class of

@@ -513,6 +513,56 @@ def _lepe_windows_dual(vw, lk0, lb0, lk1, lb1, n):
     return (acc + bias).reshape(vw.shape)
 
 
+def _lepe_windows_dual_cs(vw, lk0, lb0, lk1, lb1):
+    """CHANNEL-stacked dual-branch LePE: input (n, sp_h, sp_w, 2c) whose
+    first c lanes are the vertical branch (transposed-coordinate lk0 taps)
+    and last c lanes the horizontal branch (lk1 taps). Where the
+    batch-stacked form (``_lepe_windows_dual``) runs every shift+FMA over
+    (2n, ..., c) tensors at c/128 lane fill, this runs them once over
+    (n, ..., 2c) — half the VPU issues at double the lane utilisation
+    (c = 32 at stage 1: 1/4 -> 1/2 fill). The per-tap channel vector is a
+    lane concat of the two branches' taps, so no per-row where-select is
+    needed at all. Same math as ``_lepe_windows_dual`` up to stacking."""
+    n, sp_h, sp_w, c2 = vw.shape
+    dt = vw.dtype
+
+    def tap(di, dj):
+        return jnp.concatenate(
+            [lk0[1 - dj, 1 - di], lk1[1 - di, 1 - dj]]).astype(dt)
+
+    bias = jnp.concatenate([lb0, lb1]).astype(dt)
+    if sp_h == 1:
+        # 3-tap row conv (see _lepe_windows sp_h == 1).
+        v3 = vw.reshape(n, sp_w, c2)
+        acc = v3 * tap(0, 0)
+        for dj in (-1, 1):
+            s = (jnp.concatenate([v3[:, :1] * 0, v3[:, :-1]], 1) if dj > 0
+                 else jnp.concatenate([v3[:, 1:], v3[:, :1] * 0], 1))
+            acc += s * tap(0, dj)
+        return (acc + bias).reshape(vw.shape)
+    # Flattened row-shift formulation (see _lepe_windows sp_h >= 2).
+    L = sp_h * sp_w
+    v2 = vw.reshape(n, L, c2)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0) % sp_w
+    acc = v2 * tap(0, 0)
+    for di in (-1, 0, 1):
+        for dj in (-1, 0, 1):
+            if di == 0 and dj == 0:
+                continue
+            d = di * sp_w + dj
+            if d > 0:
+                s = jnp.concatenate([v2[:, :d] * 0, v2[:, :-d]], 1)
+            else:
+                s = jnp.concatenate([v2[:, -d:], v2[:, d:] * 0], 1)
+            t = tap(di, dj)
+            if dj:
+                ok = ((jj - dj >= 0) & (jj - dj < sp_w)).astype(dt)
+                acc += s * (ok * t)
+            else:
+                acc += s * t
+    return (acc + bias).reshape(vw.shape)
+
+
 def _ln_bwd(x, dy, scale):
     """LayerNorm backward, recomputing the f32 statistics from ``x``.
     x: (N, C) activation dtype; dy: (N, C) f32. Returns (dx f32, dscale f32,
@@ -600,6 +650,10 @@ def _lepe_windows_bwd_mm(vw, da, lk, swap=False):
     Same returns as ``_lepe_windows_bwd``."""
     n, sp_h, sp_w, c = vw.shape
     L = sp_h * sp_w
+    # Same precision rule as the forward mm form: default TPU matmul
+    # precision bf16-rounds the v/da operands, so the f32-activation
+    # oracle runs take Precision.HIGHEST.
+    prec = (jax.lax.Precision.HIGHEST if vw.dtype == jnp.float32 else None)
     dlb = jnp.sum(da, axis=(0, 1, 2))
     v2 = vw.reshape(n, L, c)
     da2 = da.reshape(n, L, c)
@@ -617,12 +671,12 @@ def _lepe_windows_bwd_mm(vw, da, lk, swap=False):
             gat = jax.lax.dot_general(
                 jnp.broadcast_to(At[None], (n, L, L)), v2,
                 (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             # Atᵀ @ da: contract At's ROW dim with da's row dim.
             dvt = jax.lax.dot_general(
                 jnp.broadcast_to(At.astype(jnp.float32)[None], (n, L, L)),
                 da2, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * w
+                preferred_element_type=jnp.float32, precision=prec) * w
         g = jnp.sum(gat * da2, axis=(0, 1))
         dlk = dlk + jnp.where(row == idx[0] * 3 + idx[1], 1.0, 0.0) * g[None, :]
         dv = dvt if dv is None else dv + dvt
@@ -635,6 +689,7 @@ def _lepe_windows_bwd_dual_mm(vw, da, lk0, lk1, n):
     as ``_lepe_windows_bwd_dual``."""
     n2, sp_h, sp_w, c = vw.shape
     L = sp_h * sp_w
+    prec = (jax.lax.Precision.HIGHEST if vw.dtype == jnp.float32 else None)
     dlb0 = jnp.sum(da[:n], axis=(0, 1, 2))
     dlb1 = jnp.sum(da[n:], axis=(0, 1, 2))
     v2 = vw.reshape(n2, L, c)
@@ -661,11 +716,11 @@ def _lepe_windows_bwd_dual_mm(vw, da, lk0, lk1, n):
             gat = jax.lax.dot_general(
                 jnp.broadcast_to(At[None], (n2, L, L)), v2,
                 (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=prec)
             dvt = jax.lax.dot_general(
                 jnp.broadcast_to(At.astype(jnp.float32)[None], (n2, L, L)),
                 da2, (((1,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32) * tap
+                preferred_element_type=jnp.float32, precision=prec) * tap
         prod = gat * da2
         g0 = jnp.sum(prod[:n], axis=(0, 1))
         g1 = jnp.sum(prod[n:], axis=(0, 1))
@@ -1164,6 +1219,20 @@ _ABLATE_NO_LN1 = False
 # monkeypatch this to A/B the stacked vs per-branch formulations.
 _BB_MODE = "auto"
 
+# Dual-LePE stacking inside the bb path: "auto" (measured route), "bs"
+# (batch-stacked ``_lepe_windows_dual``), "cs" (channel-stacked
+# ``_lepe_windows_dual_cs``). Experiments monkeypatch this.
+_LEPE_DUAL_MODE = "auto"
+
+
+def _lepe_dual_cs_route(sp_h: int, c: int) -> bool:
+    """Routing for the channel-stacked dual LePE (bb path only — bb routes
+    at the 56x56 stage-1 geometry, sp_h = 1, c = 32). OFF until an in-situ
+    chain measurement exists (scripts/exp_s1.py prices it)."""
+    if _LEPE_DUAL_MODE != "auto":
+        return _LEPE_DUAL_MODE == "cs"
+    return False
+
 
 def _use_bb(H: int, W: int) -> bool:
     """Route the two stripe branches through ONE stacked attention + LePE
@@ -1224,6 +1293,17 @@ def _dual_branch_bb(qkv_v, qkv_h, lk0, lb0, lk1, lb1, *, G, H, W, half, h2,
     k2 = jnp.concatenate([kt, kw], 0)
     v2 = jnp.concatenate([vt, vw], 0)
     out = _attn_auto(q2, k2, v2, h2, scale)
+    if _lepe_dual_cs_route(split, half):
+        # Channel-stacked LePE: one pass over (n, split, H, 2·half) lanes
+        # instead of (2n, split, H, half) — see _lepe_windows_dual_cs.
+        vcs = jnp.concatenate([vt, vw], -1)
+        lepe = _lepe_windows_dual_cs(vcs.reshape(n, split, H, 2 * half),
+                                     lk0, lb0, lk1, lb1)
+        o0 = out[:n].reshape(n, split, H, half) + lepe[..., :half]
+        o1 = out[n:].reshape(n, split, H, half) + lepe[..., half:]
+        a0 = o0.reshape(G, W, H, half).transpose(0, 2, 1, 3)
+        a1 = o1.reshape(G, H, W, half)
+        return a0, a1
     lepe = _lepe_windows_dual(v2.reshape(2 * n, split, H, half),
                               lk0, lb0, lk1, lb1, n)
     out = out.reshape(2 * n, split, H, half) + lepe
@@ -1233,7 +1313,7 @@ def _dual_branch_bb(qkv_v, qkv_h, lk0, lb0, lk1, lb1, *, G, H, W, half, h2,
 
 
 def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
-                   G, droppath):
+                   G, droppath, vh=False):
     """Dual-branch block math on VALUES (refs already read), with the
     vertical branch computed ENTIRELY in the transposed layout: ``xt`` holds
     the transposed-image rows, ``P`` the vertical half's qkv weight columns
@@ -1242,7 +1322,11 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     the vertical half's qkv is computed from the SAME LN(x) rows and
     transposed in-kernel as one joint (G, H, W, 3·half) tensor — trading the
     second HBM stream + XLA transpose pass + second LN for one more
-    in-kernel transpose. Returns the block output rows."""
+    in-kernel transpose. With ``vh=True`` ``xt`` already holds the
+    TRANSPOSED VERTICAL QKV rows (G·W·H, 3·half) — the vertical LN+dot ran
+    in XLA, fused with the upstream transpose pass, so the kernel streams
+    3·half qkv channels instead of C image channels and skips its second
+    LN+dot entirely. Returns the block output rows."""
     (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v, lk0, lb0, lk1, lb1,
      projk, projb, n2s, n2b, fc1k, fc1b, fc2k, fc2b) = P
     half = C // 2
@@ -1255,6 +1339,8 @@ def _block_body_xt(x, xt, P, dp, *, H, W, C, heads, split, scale, qkv_bias,
     if _ABLATE_NO_QKVV:
         qkv_v = qkv_h  # ablation only: wrong math; kills LN(xt)+dot,
         # keeps the xt stream (the ref block is still DMAed in)
+    elif vh:
+        qkv_v = xt  # already LN(x)·wqkv_v, transposed, computed in XLA
     elif xt is None:
         qv = _dot(xn, wqkv_v, bqkv_v if qkv_bias else None)
         qkv_v = (qv.reshape(G, H, W, 3 * half).transpose(0, 2, 1, 3)
@@ -1361,6 +1447,25 @@ def _block_kernel_xt(x_ref, xt_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
         x_ref[...].reshape(G * H * W, C), xt_ref[...].reshape(G * W * H, C),
         P, (dp0[...], dp1[...]), H=H, W=W, C=C, heads=heads, split=split,
         scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath)
+    o_ref[...] = x.reshape(G, H, W, C)
+
+
+def _block_kernel_vh(x_ref, qv_ref, n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
+                     lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
+                     fc1k, fc1b, fc2k, fc2b, dp0, dp1, o_ref, *,
+                     H, W, C, heads, split, scale, qkv_bias, G, droppath):
+    """Hoisted-vertical-qkv block: ``qv_ref`` streams the XLA-computed
+    transposed vertical qkv rows (G, W, H, 3·half) — no second LN+dot in
+    kernel (see ``_block_body_xt`` vh=True)."""
+    P = tuple(r[...] for r in (n1s, n1b, wqkv_h, bqkv_h, wqkv_v, bqkv_v,
+                               lk0, lb0, lk1, lb1, projk, projb, n2s, n2b,
+                               fc1k, fc1b, fc2k, fc2b))
+    half3 = 3 * (C // 2)
+    x = _block_body_xt(
+        x_ref[...].reshape(G * H * W, C),
+        qv_ref[...].reshape(G * W * H, half3),
+        P, (dp0[...], dp1[...]), H=H, W=W, C=C, heads=heads, split=split,
+        scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath, vh=True)
     o_ref[...] = x.reshape(G, H, W, C)
 
 
@@ -1950,6 +2055,31 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
             + [dp_spec, dp_spec],
             **common,
         )(x, *_xt_kernel_params(params, C), dp0, dp1)
+
+    if use_xt == "vh" and not last_stage:
+        # Hoist the vertical branch's LN+qkv dot to XLA, fused with the
+        # transpose pass: the kernel streams qkv_vT (3·half channels in the
+        # transposed layout) instead of xᵀ (C channels) and skips its
+        # in-kernel second LN+dot. Same math bit-for-bit up to the usual
+        # bf16 rounding (the XLA LN is the same f32 formulation).
+        half = C // 2
+        vh_params = _xt_kernel_params(params, C)
+        wqkv_v, bqkv_v = vh_params[4], vh_params[5]
+        xn = _layernorm(x.reshape(B * H * W, C), params[0], params[1])
+        qv = _dot(xn, wqkv_v, bqkv_v if qkv_bias else None)
+        qvT = (qv.reshape(B, H, W, 3 * half).transpose(0, 2, 1, 3))
+        qv_spec = pl.BlockSpec((G, W, H, 3 * half), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        kern = functools.partial(
+            _block_kernel_vh, H=H, W=W, C=C, heads=heads, split=split,
+            scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath,
+        )
+        return pl.pallas_call(
+            kern,
+            in_specs=[x_spec, qv_spec]
+            + [full(p.shape) for p in vh_params] + [dp_spec, dp_spec],
+            **common,
+        )(x, qvT, *vh_params, dp0, dp1)
 
     if use_xt and not last_stage:
         xt = x.transpose(0, 2, 1, 3)  # XLA HBM transpose, fuses upstream

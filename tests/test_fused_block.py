@@ -62,7 +62,7 @@ GEOMETRIES = [
 
 
 @pytest.mark.parametrize("bb", ["on", "off"])
-@pytest.mark.parametrize("use_xt", [True, False, "fold"])
+@pytest.mark.parametrize("use_xt", [True, False, "fold", "vh"])
 @pytest.mark.parametrize("H,W,C,heads,split,last,g", GEOMETRIES)
 def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt,
                                       bb):
@@ -89,6 +89,35 @@ def test_fused_block_matches_composed(H, W, C, heads, split, last, g, use_xt,
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("dual", ["bs", "cs"])
+@pytest.mark.parametrize("H,W,C,heads,split,g", [
+    (8, 8, 16, 2, 1, 1),   # sp_h == 1 row-conv LePE (the stage-1 shape class)
+    (8, 8, 32, 4, 2, 2),   # sp_h > 1 flat LePE
+])
+def test_lepe_dual_stack_modes_match_composed(H, W, C, heads, split, g, dual):
+    """Both sides of the dual-LePE stacking route inside the bb path
+    (_LEPE_DUAL_MODE): batch-stacked (2n, ..., c) vs channel-stacked
+    (n, ..., 2c) — 'auto' only ever picks between these."""
+    import cswin_unet_tpu.ops.pallas.cswin_block as cbm
+
+    rng = np.random.default_rng(17)
+    params = _params(rng, C, C // 2)
+    B = 2 * g
+    x = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    scale = (C // heads) ** -0.5
+    old = (cbm._BB_MODE, cbm._LEPE_DUAL_MODE)
+    cbm._BB_MODE, cbm._LEPE_DUAL_MODE = "on", dual
+    try:
+        fused = _fused_block_fwd.__wrapped__(
+            x, params, None, H=H, W=W, C=C, heads=heads, split=split,
+            last_stage=False, scale=scale, qkv_bias=True, g_images=g)
+    finally:
+        cbm._BB_MODE, cbm._LEPE_DUAL_MODE = old
+    ref = composed_block(x, params, H, W, C, heads, split, False, scale, True)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 @pytest.mark.parametrize("H,W,C,heads,split,g", [
