@@ -30,11 +30,19 @@ STAGES = {
     2: dict(H=28, W=28, C=128, heads=4, split=2, last=False),
     3: dict(H=14, W=14, C=256, heads=8, split=7, last=False),
     4: dict(H=7, W=7, C=512, heads=16, split=7, last=True),
-    # base-384 geometries (img 384 -> resos 96/48/24/12, split [1,2,12,12])
+    # 2x-reso window patterns at REDUCED C (historical keys — round-3/4
+    # measurements cite these; they are NOT the true base-384 channel
+    # widths, see 31-34 below)
     23: dict(H=24, W=24, C=256, heads=8, split=12, last=False),
     24: dict(H=12, W=12, C=512, heads=16, split=12, last=True),
     22: dict(H=48, W=48, C=128, heads=4, split=2, last=False),
     21: dict(H=96, W=96, C=96, heads=4, split=1, last=False),
+    # TRUE base-384 geometries (embed 96 -> stage C 96/192/384/768,
+    # split [1,2,12,12]; == bench.py BLOCK_GEOMETRIES 384-s1..s4)
+    31: dict(H=96, W=96, C=96, heads=4, split=1, last=False),
+    32: dict(H=48, W=48, C=192, heads=8, split=2, last=False),
+    33: dict(H=24, W=24, C=384, heads=16, split=12, last=False),
+    34: dict(H=12, W=12, C=768, heads=32, split=12, last=True),
 }
 
 

@@ -158,14 +158,18 @@ def test_full_model_logit_parity(ref_model, our_model):
     np.testing.assert_allclose(our_out, ref_out, rtol=1e-4, atol=2e-4)
 
 
-def test_full_model_logit_parity_224(ref_mod):
+@pytest.mark.parametrize("attn_impl", ["xla", "fused"])
+def test_full_model_logit_parity_224(ref_mod, attn_impl):
     """Production-RESOLUTION parity: img 224 with the tiny config's split
     sizes (1/2/7/7) pins the exact production window geometries — 56²
     sp=1 stripes, 28² sp=2, 14² (7,14) stripes, 7² full windows — none of
     which the 64² GEOM exercises (its stage 3 degenerates to reso==split).
     depth=1 per stage keeps the CPU f32 compile affordable; per-block math
     is depth-independent, and the 21-deep production stack is covered by
-    the oracle tests + the real-checkpoint import test."""
+    the oracle tests + the real-checkpoint import test. ``fused`` runs the
+    whole-block Pallas megakernels in interpret mode — the production
+    inference route's MATH (its Mosaic lowering is gated on-TPU by
+    `bench.py check`) against the reference network end to end."""
     import jax.numpy as jnp
     import torch
 
@@ -180,7 +184,7 @@ def test_full_model_logit_parity_224(ref_mod):
     ours224 = CSWinUNet(
         img_size=224, in_chans=3, num_classes=9, embed_dim=64,
         depth=(1, 1, 1, 1), split_size=(1, 2, 7, 7), num_heads=(2, 4, 8, 16),
-        drop_path_rate=0.0, dtype=jnp.float32, attn_impl="xla",
+        drop_path_rate=0.0, dtype=jnp.float32, attn_impl=attn_impl,
     )
     saved_geom = dict(GEOM)
     GEOM.update(geom)
