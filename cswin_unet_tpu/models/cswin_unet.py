@@ -133,6 +133,11 @@ class _MlpParams(nn.Module):
 # Re-measured round 3 WITH the head-block attention backward and bf16
 # LePE: full bs-24 step 45.45 ms at 28 vs 48.82 ms routing the 18 stage-3
 # blocks fused — replay still wins at 14x14; keep 28.
+# Re-measured round 5 WITH the mm LePE backward live (it LOSES at the
+# stage-3 window class — 0.681 vs 0.524 ms/block isolated — and wins at
+# stage 2, scripts/exp_lepe_mm2.py bwd): full bs-24 step 43.57 ms at 28
+# vs 46.43 ms at 14. The composed replay stays ~0.16 ms/block cheaper at
+# 14x14; keep 28.
 _FUSE_TRAIN_MIN_RESO = 28
 
 

@@ -248,15 +248,19 @@ def _lepe_mm_route(sp_h: int, sp_w: int, c: int) -> bool:
 
 
 def _lepe_mm_route_bwd(sp_h: int, sp_w: int, c: int) -> bool:
-    """Routing for the matmul-LePE BACKWARD. OFF until an in-situ bwd
-    chain measurement exists (scripts/exp_lepe_mm2.py bwd — the fused-bwd
-    compiles through the remote helper exceeded this round's time budget):
-    the roll-form bwd is the known-good production route; the mm bwd is
-    f32-exact vs the composed vjp (tests/test_fused_block.py interpret
-    oracles) and waits on a measured win to flip."""
+    """Measured routing for the matmul-LePE BACKWARD (same shape rule the
+    forward route landed on). In-situ fused-bwd chains at the train batch
+    (scripts/exp_lepe_mm2.py bwd, MM_B=24, real chip, 2026-08-21): stage 2
+    (2x28, L=56) 1.329 -> 1.063 ms WIN (the roll-form's f32 cotangent
+    rolls + masks are the costly piece the At-dots replace); stage 3
+    (7x14, L=98) 0.524 -> 0.681 ms LOSS (the L^2 At-dot batch under-fills
+    the MXU past L=56, exactly as in the forward). Rule: sp_h >= 2 and
+    L <= 56 — mm at the stage-2 window class, rolls elsewhere. The mm bwd
+    is f32-exact vs the composed vjp (tests/test_fused_block.py interpret
+    oracles); both lowerings are gate-pinned (bench.py bwd_mode_unit)."""
     if _LEPE_MM_BWD_MODE != "auto":
         return _LEPE_MM_BWD_MODE == "mm"
-    return False
+    return sp_h >= 2 and sp_h * sp_w <= 56
 
 
 def _lepe_2d_route(sp_h: int, L: int) -> bool:
