@@ -2001,7 +2001,15 @@ def _use_xt_default(H: int, W: int) -> bool | str:
       vs 1.075 fold+4d vs 1.208 fold+flat; scripts/exp_lepe.py), so the
       routing is xt across the board. Fold stays parity-covered for
       future re-measurement.
-    Both are bit-exact equals."""
+    - vh (vertical LN+qkv dot hoisted to XLA; kernel streams qkv_vT's
+      3·half channels instead of xᵀ's C) LOSES everywhere measured
+      (scripts/exp_s1.py, 2026-08-21, real chip): 224-s1 4.534 -> 5.467
+      ms, 224-s2 1.881 -> 2.463, 384-s1 bs32 5.052 -> 7.803, 384-s2
+      2.622 -> 3.054. The 1.5x qkv_vT stream + the extra XLA round trip
+      (read x, write 3·half ch) cost more than the in-kernel LN+dot they
+      replace — that compute overlaps the DMA streams anyway. Kept
+      parity-covered (gate unit block_vh:224-s1) as a measured negative.
+    All three are bit-exact equals."""
     return True
 
 
