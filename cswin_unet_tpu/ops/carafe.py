@@ -215,3 +215,60 @@ def carafe_with_classifier(
     logits = logits.reshape(B, H, W, nc, up_factor, up_factor)
     logits = logits.transpose(0, 1, 4, 2, 5, 3)
     return logits.reshape(B, H * up_factor, W * up_factor, nc)
+
+
+def carafe_with_classifier_nc(
+    x: jnp.ndarray,
+    down_kernel: jnp.ndarray,
+    down_bias: jnp.ndarray,
+    encoder_kernel: jnp.ndarray,
+    encoder_bias: jnp.ndarray,
+    out_kernel: jnp.ndarray,
+    out_bias: jnp.ndarray,
+    cls_kernel: jnp.ndarray,
+    *,
+    kernel_size: int = 3,
+    up_factor: int = 4,
+) -> jnp.ndarray:
+    """``carafe_with_classifier`` with the class projection hoisted ALL the
+    way into the 1x1 conv: reassembly runs on num_classes channels.
+
+    Same function (both 1x1 convs commute below the per-channel
+    reassembly; fp reordering only). As a FORWARD this benched slower —
+    every reassembly op at NC = 9 of 128 lanes — but as the TRAIN tail's
+    vjp REPLAY (``pallas/carafe_tail._tail_bwd``) it is the right shape:
+    the C-channel composition materializes a (B, H, W, C, up²) f32
+    reassembly intermediate and its cotangent (~308 MB each at the bs-24
+    224² recipe) plus a (B, H, W, C, k²) patch cotangent, all of which
+    shrink by C/NC ≈ 7x here. profile_parts_bwd.py measured the tail's
+    fwd+bwd at 7.3 ms of the 43.6 ms bs-24 step — by far the largest
+    single part — with the forward alone well under 1 ms."""
+    B, H, W, C = x.shape
+    k2 = kernel_size * kernel_size
+    up2 = up_factor * up_factor
+
+    def conv(inp, kern, bias, pad):
+        y = lax.conv_general_dilated(
+            inp, kern.astype(inp.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y if bias is None else y + bias.astype(y.dtype)
+
+    enc = conv(conv(x, down_kernel, down_bias, 0), encoder_kernel,
+               encoder_bias, kernel_size // 2)
+    kern = enc.reshape(B, H, W, k2, up2)
+    kern = jax.nn.softmax(kern.astype(jnp.float32), axis=3).astype(x.dtype)
+
+    w_cls = cls_kernel[0, 0].astype(jnp.float32)                  # (C, NC)
+    w_comb = (out_kernel[0, 0].astype(jnp.float32) @ w_cls)       # (C, NC)
+    bias_comb = out_bias.astype(jnp.float32) @ w_cls              # (NC,)
+    nc = w_cls.shape[-1]
+
+    yn = conv(x, w_comb[None, None], None, 0)           # (B, H, W, NC)
+    patches = extract_patches_3x3(yn, kernel_size)      # (B, H, W, NC, k²)
+    outn = jnp.einsum("bhwck,bhwks->bhwcs", patches, kern,
+                      preferred_element_type=jnp.float32)
+    logits = (outn + bias_comb[:, None]).astype(x.dtype)
+    logits = logits.reshape(B, H, W, nc, up_factor, up_factor)
+    logits = logits.transpose(0, 1, 4, 2, 5, 3)
+    return logits.reshape(B, H * up_factor, W * up_factor, nc)

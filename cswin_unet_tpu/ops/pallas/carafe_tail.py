@@ -344,11 +344,18 @@ def _tail_fwd(x, dk, db, ek, eb, ok, ob, ck, up_factor):
 
 
 def _tail_bwd(up_factor, residuals, g):
-    from ..carafe import carafe_with_classifier
+    # The replay composition is the NC-channel (projection-first) form:
+    # same function as carafe_with_classifier (1x1 convs commute below
+    # reassembly), but its vjp intermediates — the reassembly output
+    # cotangent and the patch cotangent — are num_classes-wide instead of
+    # C-wide (~7x smaller at C=64, NC=9). The C-channel replay made the
+    # tail the single largest part of the bs-24 train step
+    # (profile_parts_bwd.py: 7.3 ms of 43.6).
+    from ..carafe import carafe_with_classifier_nc
 
     def ref(x, dk, db, ek, eb, ok, ob, ck):
-        return carafe_with_classifier(x, dk, db, ek, eb, ok, ob, ck,
-                                      kernel_size=3, up_factor=up_factor)
+        return carafe_with_classifier_nc(x, dk, db, ek, eb, ok, ob, ck,
+                                         kernel_size=3, up_factor=up_factor)
 
     # CPU XLA's DotThunk has no BF16 x BF16 = F32 instantiation; the
     # transposed tap-einsums the vjp emits hit exactly that combo when this

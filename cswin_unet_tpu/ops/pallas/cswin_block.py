@@ -241,10 +241,19 @@ def _lepe_mm_route(sp_h: int, sp_w: int, c: int) -> bool:
     MXU); stage 1 row conv (1x56, c=32) 4.527 -> 5.002 LOSS (c=32 wastes
     3/4 of the lane width). Isolated-kernel numbers (exp_lepe_mm.py) said
     mm wins everywhere — they do not transfer in-situ; route on the
-    in-situ chains only: sp_h >= 2 and L <= 56."""
+    in-situ chains only.
+
+    Round-5 extension at the TRUE base-384 geometries (exp_lepe_mm2.py
+    fwd, MM_B=32, 2026-08-21): 384-s2 (2x48, c=96 branch) 2.748 -> 2.561
+    ms WIN — the sp_h == 2 stripe class keeps winning past the 224-fit
+    L <= 56 cutoff (its At matrices stay narrow-banded and the c-lanes
+    full), while the sp_h >= 7 classes (224-s3 L=98 measured loss;
+    384-s3 L=288 dense-inflation 256x) do not. Rule: small windows
+    (L <= 56) or the two-row stripe class up to L = 96."""
     if _LEPE_MM_MODE != "auto":
         return _LEPE_MM_MODE == "mm"
-    return sp_h >= 2 and sp_h * sp_w <= 56
+    L = sp_h * sp_w
+    return sp_h >= 2 and (L <= 56 or (sp_h == 2 and L <= 96))
 
 
 def _lepe_mm_route_bwd(sp_h: int, sp_w: int, c: int) -> bool:
@@ -529,12 +538,19 @@ def _lepe_windows_dual_cs(vw, lk0, lb0, lk1, lb1):
     needed at all. Same math as ``_lepe_windows_dual`` up to stacking."""
     n, sp_h, sp_w, c2 = vw.shape
     dt = vw.dtype
+    c = c2 // 2
 
+    # 2-D (1, 2c) lane concats: Mosaic's 1-D concat lowering is unreliable
+    # (the 1-D (c,)+(c,) form SIGABRTs the XLA:TPU compiler in-kernel —
+    # scripts/exp_s1.py round-5 bisect); the (1, c) row form lowers clean
+    # and broadcasts identically.
     def tap(di, dj):
         return jnp.concatenate(
-            [lk0[1 - dj, 1 - di], lk1[1 - di, 1 - dj]]).astype(dt)
+            [lk0[1 - dj, 1 - di].reshape(1, c),
+             lk1[1 - di, 1 - dj].reshape(1, c)], 1).astype(dt)
 
-    bias = jnp.concatenate([lb0, lb1]).astype(dt)
+    bias = jnp.concatenate(
+        [lb0.reshape(1, c), lb1.reshape(1, c)], 1).astype(dt)
     if sp_h == 1:
         # 3-tap row conv (see _lepe_windows sp_h == 1).
         v3 = vw.reshape(n, sp_w, c2)

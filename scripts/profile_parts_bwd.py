@@ -47,8 +47,9 @@ def timeit_vjp(make_fn, shape, ca=6, cb=16, n=3):
         y, vjp = jax.vjp(lambda pp, xx: apply(pp, xx), params, c)
         dp, dx = vjp(jnp.ones_like(y))
         # keep BOTH grads live: dx feeds the carry, dp folds in as a scalar
-        dpsum = sum(jnp.sum(l.astype(jnp.float32))
-                    for l in jax.tree_util.tree_leaves(dp))
+        dpsum = sum((jnp.sum(l.astype(jnp.float32))
+                     for l in jax.tree_util.tree_leaves(dp)),
+                    jnp.zeros((), jnp.float32))
         return (c + 1e-6 * dx.astype(c.dtype)
                 + (1e-12 * dpsum).astype(c.dtype)), ()
 

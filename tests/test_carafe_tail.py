@@ -47,6 +47,20 @@ def test_tail_matches_oracle_bf16():
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
 
 
+def test_tail_nc_composition_matches_standard():
+    """The projection-first (NC-channel reassembly) composition — the train
+    tail's vjp replay — is the same function as carafe_with_classifier."""
+    from cswin_unet_tpu.ops.carafe import carafe_with_classifier_nc
+
+    rng = np.random.default_rng(7)
+    p = _params(rng)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32))
+    got = carafe_with_classifier_nc(x, **p, kernel_size=3, up_factor=4)
+    want = carafe_with_classifier(x, **p, kernel_size=3, up_factor=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_tail_gradients_match_oracle():
     rng = np.random.default_rng(2)
     p = _params(rng)
