@@ -217,6 +217,109 @@ def carafe_with_classifier(
     return logits.reshape(B, H * up_factor, W * up_factor, nc)
 
 
+def fold_patches_3x3(dp: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:
+    """Adjoint of ``extract_patches_3x3``: (B, H, W, C, k²) tap cotangents
+    -> (B, H, W, C) via 9 statically-indexed overlapping adds (f32 acc)."""
+    k = kernel_size
+    p = k // 2
+    B, H, W, C, _ = dp.shape
+    acc = jnp.zeros((B, H + 2 * p, W + 2 * p, C), jnp.float32)
+    t = 0
+    for di in range(k):
+        for dj in range(k):
+            acc = acc.at[:, di : di + H, dj : dj + W, :].add(
+                dp[..., t].astype(jnp.float32))
+            t += 1
+    return acc[:, p : p + H, p : p + W, :]
+
+
+def carafe_tail_bwd_manual(x, dk, db, ek, eb, ok, ob, ck, g, *,
+                           kernel_size: int = 3, up_factor: int = 4):
+    """Hand-associated vjp of ``carafe_with_classifier`` (same gradients as
+    the autodiff vjp up to fp reordering; contraction orders chosen for
+    TPU).
+
+    The autodiff vjp of the C-channel composition materializes the
+    (B, H, W, C, up²) f32 reassembly output AND its cotangent (~308 MB
+    each at the bs-24 224² train recipe) plus C-wide 5-D transposed
+    einsums — profile_parts_bwd.py measured the tail at 7.3 ms of the
+    43.6 ms step, with the forward under 1 ms. The NC-channel replay
+    (carafe_with_classifier_nc) shrinks the tensors 7x but runs every
+    reassembly op at 9/128 lane fill and benched SLOWER in-situ (bench
+    train 550.9 -> 533.8 samples/s). Here every cotangent contraction is
+    reassociated so the widest intermediates are the (NC, k²)-per-pixel
+    tensors A and patches_n (~24 MB each):
+
+      A[n,t]        = Σ_s g[n,s]·kern[t,s]          (tap-space cotangent)
+      dpatches[c,t] = Σ_n w_cls[c,n]·A[n,t]         (C-wide, but k²=9 deep)
+      patches_n[n,t]= Σ_c patches[c,t]·w_cls[c,n]
+      dkern[t,s]    = Σ_n patches_n[n,t]·g[n,s]
+      dW_cls[c,n]   = Σ_pix,t patches[c,t]·A[n,t] + b_out ⊗ Σ g
+      dy            = fold(dpatches);  dW_out = xᵀ·dy;  dx = dy·W_outᵀ + enc path
+
+    The enc/softmax subpath (small tensors) keeps the autodiff vjp."""
+    B, H, W, C = x.shape
+    k = kernel_size
+    k2 = k * k
+    up = up_factor
+    up2 = up * up
+    dt = x.dtype
+    f32 = jnp.float32
+
+    def conv(inp, kern, bias, pad):
+        y = lax.conv_general_dilated(
+            inp, kern.astype(inp.dtype), (1, 1), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y if bias is None else y + bias.astype(y.dtype)
+
+    def enc_path(x_, dk_, db_, ek_, eb_):
+        enc = conv(conv(x_, dk_, db_, 0), ek_, eb_, k // 2)
+        kern_ = enc.reshape(B, H, W, k2, up2)
+        return jax.nn.softmax(kern_.astype(f32), axis=3).astype(dt)
+
+    kern, enc_vjp = jax.vjp(enc_path, x, dk, db, ek, eb)
+
+    y = conv(x, ok, None, 0)
+    patches = extract_patches_3x3(y, k)                 # (B, H, W, C, k²)
+
+    # Inverse pixel shuffle of the output cotangent -> (B, H, W, NC, up²).
+    nc = g.shape[-1]
+    gn = (g.reshape(B, H, up, W, up, nc)
+           .transpose(0, 1, 3, 5, 2, 4).reshape(B, H, W, nc, up2))
+
+    w_cls = ck[0, 0]                                    # (C, NC)
+
+    A = jnp.einsum("bhwns,bhwts->bhwnt", gn, kern,
+                   preferred_element_type=f32).astype(dt)
+    dpatches = jnp.einsum("cn,bhwnt->bhwct", w_cls.astype(dt), A,
+                          preferred_element_type=f32).astype(dt)
+    dy = fold_patches_3x3(dpatches, k).astype(dt)       # (B, H, W, C)
+
+    patches_n = jnp.einsum("bhwct,cn->bhwnt", patches, w_cls.astype(dt),
+                           preferred_element_type=f32).astype(dt)
+    dkern = jnp.einsum("bhwnt,bhwns->bhwts", patches_n, gn,
+                       preferred_element_type=f32).astype(dt)
+    dx_enc, ddk, ddb, dek, deb = enc_vjp(dkern)
+
+    # Classifier weight: reassembly term + the hoisted-bias term
+    # (bias_comb = b_out @ w_cls rides through reassembly unchanged).
+    dw_cls = jnp.einsum("bhwct,bhwnt->cn", patches, A,
+                        preferred_element_type=f32)
+    dg_sum = jnp.sum(gn.astype(f32), axis=(0, 1, 2, 4))     # (NC,)
+    dw_cls = dw_cls + ob.astype(f32)[:, None] * dg_sum[None, :]
+    dob = (w_cls.astype(f32) @ dg_sum).astype(ob.dtype)
+
+    dok = jnp.einsum("bhwi,bhwo->io", x, dy,
+                     preferred_element_type=f32)[None, None]
+    dx = (jnp.einsum("bhwo,io->bhwi", dy, ok[0, 0].astype(dt),
+                     preferred_element_type=f32).astype(dt)
+          + dx_enc)
+
+    return (dx, ddk, ddb, dek, deb, dok.astype(ok.dtype), dob,
+            dw_cls[None, None].astype(ck.dtype))
+
+
 def carafe_with_classifier_nc(
     x: jnp.ndarray,
     down_kernel: jnp.ndarray,

@@ -343,31 +343,57 @@ def _tail_fwd(x, dk, db, ek, eb, ok, ob, ck, up_factor):
     return out, (x, dk, db, ek, eb, ok, ob, ck)
 
 
+# Tail-backward formulation: "auto" (measured route), "autodiff" (vjp of
+# the C-channel composition), "nc" (vjp of the NC-channel projection-first
+# composition), "manual" (hand-associated contractions,
+# ops/carafe.py:carafe_tail_bwd_manual). Experiments monkeypatch this.
+_TAIL_BWD_MODE = "auto"
+
+
 def _tail_bwd(up_factor, residuals, g):
-    # The replay composition is the NC-channel (projection-first) form:
-    # same function as carafe_with_classifier (1x1 convs commute below
-    # reassembly), but its vjp intermediates — the reassembly output
-    # cotangent and the patch cotangent — are num_classes-wide instead of
-    # C-wide (~7x smaller at C=64, NC=9). The C-channel replay made the
-    # tail the single largest part of the bs-24 train step
-    # (profile_parts_bwd.py: 7.3 ms of 43.6).
+    # MEASURED route: the plain autodiff vjp of the C-channel composition.
+    # The isolated part profile (profile_parts_bwd.py: the up-4 CARAFE vjp
+    # at 7.3 ms of the 43.6 ms bs-24 step) suggested the tail backward was
+    # the step's biggest piece, but neither alternative wins IN-SITU
+    # (bench.py train, bs 24, real chip, 2026-08-21): autodiff-C 550.9
+    # samples/s, nc replay 533.8 (its ~7x smaller cotangents run at 9/128
+    # lane fill), hand-associated manual 532.1 (same lane economics on the
+    # A/patches_n tap tensors). Inside the fused whole-step graph XLA
+    # schedules the C-wide vjp better than the isolated chain suggested —
+    # the isolated number does not transfer. Both alternatives stay
+    # value+grad parity-covered (tests/test_carafe_tail.py) as measured
+    # negatives behind _TAIL_BWD_MODE.
+    from ..carafe import carafe_tail_bwd_manual, carafe_with_classifier
     from ..carafe import carafe_with_classifier_nc
 
-    def ref(x, dk, db, ek, eb, ok, ob, ck):
-        return carafe_with_classifier_nc(x, dk, db, ek, eb, ok, ob, ck,
-                                         kernel_size=3, up_factor=up_factor)
+    mode = _TAIL_BWD_MODE
+    if mode == "auto":
+        mode = "autodiff"
 
     # CPU XLA's DotThunk has no BF16 x BF16 = F32 instantiation; the
-    # transposed tap-einsums the vjp emits hit exactly that combo when this
+    # transposed tap-einsums the vjps emit hit exactly that combo when this
     # backward is compiled in isolation. Upcast on CPU (test backend only —
     # TPU keeps the bf16 MXU dots).
-    if jax.default_backend() == "cpu":
-        dtypes = [r.dtype for r in residuals]
+    upcast = jax.default_backend() == "cpu"
+    dtypes = [r.dtype for r in residuals]
+    if upcast:
         residuals = tuple(r.astype(jnp.float32) for r in residuals)
-        grads = jax.vjp(ref, *residuals)[1](g.astype(jnp.float32))
+        g = g.astype(jnp.float32)
+
+    if mode == "manual":
+        grads = carafe_tail_bwd_manual(*residuals, g, up_factor=up_factor)
+    else:
+        comp = (carafe_with_classifier_nc if mode == "nc"
+                else carafe_with_classifier)
+
+        def ref(x, dk, db, ek, eb, ok, ob, ck):
+            return comp(x, dk, db, ek, eb, ok, ob, ck,
+                        kernel_size=3, up_factor=up_factor)
+
+        grads = jax.vjp(ref, *residuals)[1](g)
+    if upcast:
         return tuple(gr.astype(dt) for gr, dt in zip(grads, dtypes))
-    _, vjp = jax.vjp(ref, *residuals)
-    return vjp(g)
+    return tuple(grads)
 
 
 carafe_tail.defvjp(_tail_fwd, _tail_bwd)

@@ -526,31 +526,31 @@ def _lepe_windows_dual(vw, lk0, lb0, lk1, lb1, n):
     return (acc + bias).reshape(vw.shape)
 
 
-def _lepe_windows_dual_cs(vw, lk0, lb0, lk1, lb1):
+def _lepe_windows_dual_cs(vw, lkc, lbc):
     """CHANNEL-stacked dual-branch LePE: input (n, sp_h, sp_w, 2c) whose
-    first c lanes are the vertical branch (transposed-coordinate lk0 taps)
-    and last c lanes the horizontal branch (lk1 taps). Where the
-    batch-stacked form (``_lepe_windows_dual``) runs every shift+FMA over
-    (2n, ..., c) tensors at c/128 lane fill, this runs them once over
-    (n, ..., 2c) — half the VPU issues at double the lane utilisation
-    (c = 32 at stage 1: 1/4 -> 1/2 fill). The per-tap channel vector is a
-    lane concat of the two branches' taps, so no per-row where-select is
-    needed at all. Same math as ``_lepe_windows_dual`` up to stacking."""
+    first c lanes are the vertical branch and last c lanes the horizontal
+    branch. ``lkc`` is the PRE-MERGED (3, 3, 2c) tap kernel
+    (concat(lk0ᵀ-taps, lk1) — built in XLA by ``_fused_block_fwd``, the
+    vertical swap folded into the tap-grid transpose); ``lbc`` the merged
+    (2c,) bias. Where the batch-stacked form (``_lepe_windows_dual``) runs
+    every shift+FMA over (2n, ..., c) tensors at c/128 lane fill, this
+    runs them once over (n, ..., 2c) — half the VPU issues at double the
+    lane utilisation (c = 32 at stage 1: 1/4 -> 1/2 fill).
+
+    The tap merge must happen OUTSIDE the kernel: in-kernel per-tap
+    concats crash the XLA:TPU compiler at the 56x56 geometry — the 1-D
+    (c,)+(c,) form SIGABRTs it, the 2-D (1, c)+(1, c) form exits 1
+    (scripts/exp_cs_bisect.py: k_concat/k_slice compile clean, k_taps
+    fails) — while the plain 1-D-row broadcast_to below is the
+    known-good pattern the bs form uses. Same math as
+    ``_lepe_windows_dual`` up to stacking."""
     n, sp_h, sp_w, c2 = vw.shape
     dt = vw.dtype
-    c = c2 // 2
 
-    # 2-D (1, 2c) lane concats: Mosaic's 1-D concat lowering is unreliable
-    # (the 1-D (c,)+(c,) form SIGABRTs the XLA:TPU compiler in-kernel —
-    # scripts/exp_s1.py round-5 bisect); the (1, c) row form lowers clean
-    # and broadcasts identically.
     def tap(di, dj):
-        return jnp.concatenate(
-            [lk0[1 - dj, 1 - di].reshape(1, c),
-             lk1[1 - di, 1 - dj].reshape(1, c)], 1).astype(dt)
+        return jnp.broadcast_to(lkc[1 - di, 1 - dj].astype(dt), (n, 1, c2))
 
-    bias = jnp.concatenate(
-        [lb0.reshape(1, c), lb1.reshape(1, c)], 1).astype(dt)
+    bias = jnp.broadcast_to(lbc.astype(dt), (n, 1, c2))
     if sp_h == 1:
         # 3-tap row conv (see _lepe_windows sp_h == 1).
         v3 = vw.reshape(n, sp_w, c2)
@@ -1246,12 +1246,16 @@ _LEPE_DUAL_MODE = "auto"
 
 
 def _lepe_dual_cs_route(sp_h: int, c: int) -> bool:
-    """Routing for the channel-stacked dual LePE (bb path only — bb routes
-    at the 56x56 stage-1 geometry, sp_h = 1, c = 32). OFF until an in-situ
-    chain measurement exists (scripts/exp_s1.py prices it)."""
+    """Measured routing for the channel-stacked dual LePE (bb path only —
+    bb routes at the 56x56 stage-1 geometry, sp_h = 1, c = 32). In-situ
+    bs128 whole-block chains (scripts/exp_s1.py, real chip, 2026-08-21,
+    with the XLA-side tap merge): stage-1 block 4.602 (batch-stacked) ->
+    4.380 ms (channel-stacked) — the 3-tap row conv at doubled lane fill
+    and halved issue count pays 0.22 ms/block. Routed ON at the row-conv
+    geometry; parity rel_err 1.2e-3 vs the composed oracle on TPU."""
     if _LEPE_DUAL_MODE != "auto":
         return _LEPE_DUAL_MODE == "cs"
-    return False
+    return sp_h == 1
 
 
 def _use_bb(H: int, W: int) -> bool:
@@ -1315,10 +1319,13 @@ def _dual_branch_bb(qkv_v, qkv_h, lk0, lb0, lk1, lb1, *, G, H, W, half, h2,
     out = _attn_auto(q2, k2, v2, h2, scale)
     if _lepe_dual_cs_route(split, half):
         # Channel-stacked LePE: one pass over (n, split, H, 2·half) lanes
-        # instead of (2n, split, H, half) — see _lepe_windows_dual_cs.
+        # instead of (2n, split, H, half). When this routes, the lk0/lb0
+        # slots hold the PRE-MERGED (3, 3, 2·half)/(2·half,) tap params
+        # (_fused_block_fwd merges them in XLA — in-kernel tap concats
+        # crash the Mosaic lowering, see _lepe_windows_dual_cs).
         vcs = jnp.concatenate([vt, vw], -1)
         lepe = _lepe_windows_dual_cs(vcs.reshape(n, split, H, 2 * half),
-                                     lk0, lb0, lk1, lb1)
+                                     lk0, lb0)
         o0 = out[:n].reshape(n, split, H, half) + lepe[..., :half]
         o1 = out[n:].reshape(n, split, H, half) + lepe[..., half:]
         a0 = o0.reshape(G, W, H, half).transpose(0, 2, 1, 3)
@@ -2071,7 +2078,25 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
         interpret=jax.default_backend() == "cpu",
     )
 
+    def _with_cs_merge(ps):
+        """cs dual-LePE: merge the two branches' tap kernels in XLA
+        (vertical swap folded as the tap-grid transpose) — the in-kernel
+        merge crashes the Mosaic lowering (scripts/exp_cs_bisect.py). The
+        lk0/lb0 slots carry the merged (3, 3, C)/(C,) params; lk1/lb1 ride
+        along unused. Applied to every dual-branch FORWARD kernel variant
+        (xt/fold/vh); the bwd kernel path never routes bb, so never cs."""
+        if last_stage or not (_use_bb(H, W)
+                              and _lepe_dual_cs_route(split, C // 2)):
+            return ps
+        (n1s_, n1b_, wh_, bh_, wv_, bv_, lk0_, lb0_, lk1_, lb1_,
+         *rest_) = ps
+        lkc = jnp.concatenate([lk0_.transpose(1, 0, 2), lk1_], -1)
+        lbc = jnp.concatenate([lb0_, lb1_])
+        return (n1s_, n1b_, wh_, bh_, wv_, bv_, lkc, lbc, lk1_, lb1_,
+                *rest_)
+
     if use_xt == "fold" and not last_stage:
+        fold_params = _with_cs_merge(_xt_kernel_params(params, C))
         kern = functools.partial(
             _block_kernel_fold, H=H, W=W, C=C, heads=heads, split=split,
             scale=scale, qkv_bias=qkv_bias, G=G, droppath=droppath,
@@ -2079,10 +2104,10 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
         return pl.pallas_call(
             kern,
             in_specs=[x_spec]
-            + [full(p.shape) for p in _xt_kernel_params(params, C)]
+            + [full(p.shape) for p in fold_params]
             + [dp_spec, dp_spec],
             **common,
-        )(x, *_xt_kernel_params(params, C), dp0, dp1)
+        )(x, *fold_params, dp0, dp1)
 
     if use_xt == "vh" and not last_stage:
         # Hoist the vertical branch's LN+qkv dot to XLA, fused with the
@@ -2091,7 +2116,7 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
         # in-kernel second LN+dot. Same math bit-for-bit up to the usual
         # bf16 rounding (the XLA LN is the same f32 formulation).
         half = C // 2
-        vh_params = _xt_kernel_params(params, C)
+        vh_params = _with_cs_merge(_xt_kernel_params(params, C))
         wqkv_v, bqkv_v = vh_params[4], vh_params[5]
         xn = _layernorm(x.reshape(B * H * W, C), params[0], params[1])
         qv = _dot(xn, wqkv_v, bqkv_v if qkv_bias else None)
@@ -2111,7 +2136,7 @@ def _fused_block_fwd(x, params, dps=None, *, H, W, C, heads, split, last_stage,
 
     if use_xt and not last_stage:
         xt = x.transpose(0, 2, 1, 3)  # XLA HBM transpose, fuses upstream
-        xt_params = _xt_kernel_params(params, C)
+        xt_params = _with_cs_merge(_xt_kernel_params(params, C))
         xt_spec = pl.BlockSpec((G, W, H, C), lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
         kern = functools.partial(

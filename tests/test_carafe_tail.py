@@ -61,15 +61,29 @@ def test_tail_nc_composition_matches_standard():
                                rtol=3e-5, atol=3e-5)
 
 
-def test_tail_gradients_match_oracle():
+import pytest
+
+
+@pytest.mark.parametrize("mode", ["autodiff", "nc", "manual"])
+def test_tail_gradients_match_oracle(mode):
+    """Every tail-backward formulation the _TAIL_BWD_MODE route can select
+    (the production autodiff-C replay and the two measured-negative
+    alternatives) produces the composed oracle's gradients."""
+    import cswin_unet_tpu.ops.pallas.carafe_tail as ct
+
     rng = np.random.default_rng(2)
     p = _params(rng)
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 16)).astype(np.float32))
     args = (x, p["down_kernel"], p["down_bias"], p["encoder_kernel"],
             p["encoder_bias"], p["out_kernel"], p["out_bias"], p["cls_kernel"])
 
-    g_fused = jax.grad(lambda *a: jnp.sum(carafe_tail(*a, 4) ** 2),
-                       argnums=tuple(range(8)))(*args)
+    old = ct._TAIL_BWD_MODE
+    ct._TAIL_BWD_MODE = mode
+    try:
+        g_fused = jax.grad(lambda *a: jnp.sum(carafe_tail(*a, 4) ** 2),
+                           argnums=tuple(range(8)))(*args)
+    finally:
+        ct._TAIL_BWD_MODE = old
     g_ref = jax.grad(
         lambda *a: jnp.sum(carafe_with_classifier(*a, kernel_size=3,
                                                   up_factor=4) ** 2),
