@@ -390,7 +390,13 @@ def bench_check(batch=8, geometries=None, include_broken=False, quick=False):
                 close(f"block_bwd_dp{i}:{name}", gf, gr, tol)
 
         unit(f"block_fwd:{name}", fwd_unit)
-        if not last:
+        # The 96x96 fused-bwd unit is a budget black hole: its compile
+        # alone ran 40+ min through the tunnel in round 5 (and the r4
+        # driver bench died at exactly `block_bwd:384-s1`), against a
+        # quick-tier design target of minutes-warm. Quick keeps the
+        # 384-s1 FORWARD + the bs32 VMEM unit; the backward lowering
+        # stays covered by the FULL tier (pre_land.sh full / nightly).
+        if not last and not (quick and name.startswith("384")):
             unit(f"block_bwd:{name}", bwd_unit)
 
     # VMEM-headroom compiles at the PRODUCTION bench batch sizes. No oracle
